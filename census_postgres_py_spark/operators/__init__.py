@@ -1,0 +1,19 @@
+"""Operator modules. Importing this package registers every operator
+with the registry (IDs = SURVEY.md §2 inventory)."""
+
+from census_postgres_py_spark.operators import (  # noqa: F401
+    aggregates,
+    dedup,
+    joins,
+    multimodal,
+    scalar_fns,
+    scans,
+    setops,
+    similarity,
+    streaming_batch,
+    text_analysis,
+    transforms,
+    udfs,
+    windows,
+)
+from census_postgres_py_spark.streaming import jobs  # noqa: F401

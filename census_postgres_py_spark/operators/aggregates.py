@@ -1,0 +1,304 @@
+"""Aggregation operators (SURVEY.md §2.4).
+
+The reference's aggregation surface is load-validation row counts [PK];
+everything beyond plain hash agg is a mandated extension
+(BASELINE.json:6). All groupBys here are partial-aggregated map-side by
+Spark automatically (the classic combiner), so the shuffle carries one
+row per (partition × group), not per input row — the property that
+makes these linear-ish at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from census_postgres_py_spark.registry import register
+from census_postgres_py_spark.tables import register_views, t
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@register(
+    "agg_hash",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)
+               AS sum_charge,
+           round(avg(l_quantity), 2) AS avg_qty,
+           round(avg(l_extendedprice), 2) AS avg_price,
+           round(avg(l_discount), 4) AS avg_disc,
+           CAST(count(*) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def agg_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped hash aggregate: 2 group cols × 8 measures."""
+    li = t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
+    )
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+        F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+        F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+        F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
+        F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
+        F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+        F.count("*").alias("count_order"),
+    )
+
+
+@register(
+    "agg_distinct",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_cust,
+           CAST(count(*) AS BIGINT) AS n_orders
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """count(DISTINCT) — Spark expands to a two-phase agg (dedup on
+    (group, key) then count), both phases map-side partial."""
+    return (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.countDistinct("o_custkey").alias("n_cust"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+
+@register("agg_approx_distinct")  # approximate => rows-only check
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ cardinality per event_type (rsd=0.02). At 100 TB this is
+    THE distinct-count: constant memory per group vs the exact
+    expansion's shuffle of every (group, key) pair."""
+    return (
+        t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"))
+    )
+
+
+@register(
+    "agg_percentile",
+    oracle="""
+    SELECT o_orderstatus,
+           round(median(o_totalprice), 2) AS median_price,
+           round(quantile_cont(o_totalprice, 0.95), 2) AS p95_price
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact median / continuous quantile per group. (For 100 TB use
+    `percentile_approx` — t-digest-style sketch, one pass, mergeable;
+    exact percentile is kept here because the oracle hash needs exact.)
+    """
+    return (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.round(F.median("o_totalprice"), 2).alias("median_price"),
+            F.round(F.percentile("o_totalprice", 0.95), 2).alias("p95_price"),
+        )
+    )
+
+
+@register(
+    "agg_rollup",
+    oracle="""
+    SELECT r_name, n_name,
+           round(sum(c_acctbal), 2) AS acct_total,
+           CAST(count(*) AS BIGINT) AS n_cust
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """,
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subtotal hierarchy region -> nation -> grand total."""
+    c = t(spark, sf_dir, "customer").select("c_nationkey", "c_acctbal")
+    n = t(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    r = t(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .rollup("r_name", "n_name")
+        .agg(
+            F.round(F.sum("c_acctbal"), 2).alias("acct_total"),
+            F.count("*").alias("n_cust"),
+        )
+    )
+
+
+@register(
+    "agg_cube",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           CAST(count(*) AS BIGINT) AS n
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All grouping combinations of (returnflag, linestatus)."""
+    return (
+        t(spark, sf_dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+@register(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit grouping sets {(status), (priority), ()} via Spark SQL
+    (same Catalyst Expand node as rollup/cube)."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               count(*) AS n,
+               round(sum(o_totalprice), 2) AS total
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+@register(
+    "agg_collect",
+    oracle="""
+    SELECT o_custkey,
+           array_to_string(list_sort(list(o_orderkey)), ',') AS order_ids,
+           CAST(count(*) AS BIGINT) AS n
+    FROM orders
+    WHERE o_totalprice > 250000
+    GROUP BY o_custkey
+    """,
+)
+def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group -> array (collect_list), sorted then string-rendered so
+    the value hash is deterministic regardless of arrival order."""
+    return (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 250000)
+        .groupBy("o_custkey")
+        .agg(
+            F.concat_ws(",", F.array_sort(F.collect_list("o_orderkey"))).alias(
+                "order_ids"
+            ),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+@register(
+    "agg_filtered",
+    oracle="""
+    SELECT user_id,
+           round(coalesce(sum(value) FILTER (event_type = 'purchase'), 0.0), 2)
+               AS purchase_value,
+           round(coalesce(sum(value) FILTER (event_type = 'click'), 0.0), 2)
+               AS click_value,
+           CAST(count(*) FILTER (event_type = 'error') AS BIGINT) AS n_errors
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def agg_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional / FILTERed aggregates (the estimate-vs-margin column
+    split in the reference's paired outputs [PK analog])."""
+    ev = t(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.round(
+            F.coalesce(
+                F.sum(F.when(F.col("event_type") == "purchase", F.col("value"))),
+                F.lit(0.0),
+            ),
+            2,
+        ).alias("purchase_value"),
+        F.round(
+            F.coalesce(
+                F.sum(F.when(F.col("event_type") == "click", F.col("value"))),
+                F.lit(0.0),
+            ),
+            2,
+        ).alias("click_value"),
+        F.count(F.when(F.col("event_type") == "error", F.lit(1))).alias("n_errors"),
+    )
+
+
+@register(
+    "pivot_wide",
+    oracle="""
+    SELECT user_id,
+           CAST(coalesce(count(*) FILTER (event_type = 'click'),    0) AS BIGINT) AS click,
+           CAST(coalesce(count(*) FILTER (event_type = 'error'),    0) AS BIGINT) AS error,
+           CAST(coalesce(count(*) FILTER (event_type = 'purchase'), 0) AS BIGINT) AS purchase,
+           CAST(coalesce(count(*) FILTER (event_type = 'signup'),   0) AS BIGINT) AS signup,
+           CAST(coalesce(count(*) FILTER (event_type = 'view'),     0) AS BIGINT) AS view
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def pivot_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long -> wide pivot (the reference interleaves estimate/margin
+    pairs into wide tables [PK analog]). Pivot values are declared
+    explicitly — at scale, never let Spark run the extra distinct-scan
+    to discover them."""
+    return (
+        t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .pivot("event_type", EVENT_TYPES)
+        .count()
+        .na.fill(0, EVENT_TYPES)
+    )
+
+
+@register(
+    "unpivot_long",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure,
+           l_quantity AS val FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice
+    FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+    """,
+)
+def unpivot_long(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide -> long unpivot (a sequence row -> (table, cell, value)
+    triples in reference terms [PK analog]); `melt` is a zero-shuffle
+    Expand node."""
+    return t(spark, sf_dir, "lineitem").melt(
+        ids=["l_orderkey", "l_linenumber"],
+        values=["l_quantity", "l_extendedprice", "l_discount"],
+        variableColumnName="measure",
+        valueColumnName="val",
+    )

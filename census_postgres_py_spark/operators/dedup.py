@@ -1,0 +1,314 @@
+"""Near-duplicate detection family (BASELINE.json:6 "dedup"; SURVEY.md
+§2.6 dedup_minhash + the training-data-pipeline variants).
+
+Design for 100 TB: every variant is candidate-generation-first — an
+inverted-index / LSH-band / bit-band EQUI join produces candidate pairs
+(linear-ish in data + collisions), and only candidates pay the exact
+verification cost. The O(n²) all-pairs comparison never appears except
+in `dedup_embedding_cosine`, which is the deliberately-naive brute
+baseline (its scale path is `similarity.py`'s LSH).
+
+FIXTURES.md: no near-duplicate texts exist in `documents`, so each
+query first INJECTS deterministic mutated copies (doc_id + 1_000_000,
+last 2 tokens dropped — functions/text.drop_last_tokens) and then must
+re-discover them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from census_postgres_py_spark.functions.text import (
+    drop_last_tokens,
+    tokens,
+    word_shingles,
+)
+from census_postgres_py_spark.functions.vector import cosine
+from census_postgres_py_spark.registry import register
+from census_postgres_py_spark.tables import t
+
+DUP_OFFSET = 1_000_000
+N_HASHES = 64  # minhash signature length
+N_BANDS = 16  # => rows-per-band r = 4
+
+# Shared oracle SQL fragment: documents + injected near-dup copies,
+# exploded to (doc_id, shingle) with per-doc distinct-shingle counts.
+_ORACLE_SHINGLES = """
+    WITH with_dups AS (
+        SELECT doc_id, text FROM documents WHERE doc_id < 200
+        UNION ALL
+        SELECT doc_id + 1000000 AS doc_id,
+               array_to_string(
+                   list_slice(list_filter(string_split(text, ' '), x -> x <> ''),
+                              1,
+                              greatest(len(list_filter(string_split(text, ' '),
+                                                       x -> x <> '')) - 2, 1)),
+                   ' ') AS text
+        FROM documents WHERE doc_id < 200
+    ), toks AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+        FROM with_dups
+    ), sh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(range(1, len(w) - 1),
+                   i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2])) AS shingles
+        FROM toks
+    ), ex AS (
+        SELECT doc_id, unnest(shingles) AS shingle FROM sh
+    ), ns AS (
+        SELECT doc_id, len(shingles) AS n_sh FROM sh
+    )
+"""
+
+
+def _with_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents (doc_id < 200) + deterministic mutated copies."""
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200).select(
+        "doc_id", "text"
+    )
+    dups = docs.select(
+        (F.col("doc_id") + DUP_OFFSET).alias("doc_id"),
+        drop_last_tokens("text", 2).alias("text"),
+    )
+    return docs.unionByName(dups)
+
+
+def _shingled(df: DataFrame) -> DataFrame:
+    return df.select(
+        "doc_id", word_shingles(tokens("text"), 3).alias("shingles")
+    ).withColumn("n_sh", F.size("shingles"))
+
+
+def _exact_jaccard_pairs(shingled: DataFrame, candidates: DataFrame) -> DataFrame:
+    """Verify candidate (a_id, b_id) pairs with exact shingle-set
+    Jaccard; only candidates pay this cost."""
+    a = shingled.select(
+        F.col("doc_id").alias("a_id"),
+        F.col("shingles").alias("a_sh"),
+        F.col("n_sh").alias("a_n"),
+    )
+    b = shingled.select(
+        F.col("doc_id").alias("b_id"),
+        F.col("shingles").alias("b_sh"),
+        F.col("n_sh").alias("b_n"),
+    )
+    joined = candidates.join(a, "a_id").join(b, "b_id")
+    common = F.size(F.array_intersect("a_sh", "b_sh"))
+    jacc = common.cast("double") / (F.col("a_n") + F.col("b_n") - common)
+    return (
+        joined.select(
+            "a_id",
+            "b_id",
+            common.cast("long").alias("common"),
+            F.round(jacc, 4).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.5)
+    )
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=_ORACLE_SHINGLES
+    + """
+    , pairs AS (
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+               CAST(count(*) AS BIGINT) AS common
+        FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT a_id, b_id, common,
+           round(CAST(common AS DOUBLE) / (na.n_sh + nb.n_sh - common), 4)
+               AS jaccard
+    FROM pairs
+    JOIN ns na ON na.doc_id = a_id
+    JOIN ns nb ON nb.doc_id = b_id
+    WHERE CAST(common AS DOUBLE) / (na.n_sh + nb.n_sh - common) >= 0.5
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT n-gram Jaccard dedup via inverted shingle index.
+
+    Candidate generation = equi-join on shingle (each shared shingle
+    votes once), so cost is Σ collisions, not n². The exact Jaccard
+    follows from |A∩B| counted by the join plus per-doc shingle counts
+    — no second pass over the texts.
+    """
+    shingled = _shingled(_with_dups(spark, sf_dir))
+    ex = shingled.select("doc_id", F.explode("shingles").alias("shingle"))
+    a = ex.select(F.col("doc_id").alias("a_id"), "shingle")
+    b = ex.select(F.col("doc_id").alias("b_id"), "shingle")
+    pairs = (
+        a.join(b, "shingle")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .groupBy("a_id", "b_id")
+        .agg(F.count("*").alias("common"))
+    )
+    ns = shingled.select("doc_id", "n_sh")
+    na = ns.select(F.col("doc_id").alias("a_id"), F.col("n_sh").alias("a_n"))
+    nb = ns.select(F.col("doc_id").alias("b_id"), F.col("n_sh").alias("b_n"))
+    jacc = F.col("common").cast("double") / (
+        F.col("a_n") + F.col("b_n") - F.col("common")
+    )
+    return (
+        pairs.join(na, "a_id")
+        .join(nb, "b_id")
+        .filter(jacc >= 0.5)
+        .select(
+            "a_id",
+            "b_id",
+            F.col("common").cast("long").alias("common"),
+            F.round(jacc, 4).alias("jaccard"),
+        )
+    )
+
+
+@register("dedup_minhash")  # LSH recall < 1 by design => rows-only check
+def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH banding near-dup detection (the 100 TB path).
+
+    shingle -> 64 minhashes (xxhash64 seeded per permutation) -> 16
+    bands x 4 rows -> band-bucket equi-join for candidates -> exact
+    Jaccard re-check on candidates only. Fully deterministic (fixed
+    seeds), but banding recall < 1, so no SQL oracle — the exact twin
+    `dedup_ngram_jaccard` is the correctness anchor; tests assert this
+    finds every injected pair.
+    """
+    shingled = _shingled(_with_dups(spark, sf_dir))
+    ex = shingled.select("doc_id", F.explode("shingles").alias("shingle"))
+    sig = ex.groupBy("doc_id").agg(
+        *[
+            F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
+            for i in range(N_HASHES)
+        ]
+    )
+    r = N_HASHES // N_BANDS
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(band).alias("band"),
+                        F.xxhash64(
+                            *[F.col(f"h{band * r + j}") for j in range(r)]
+                        ).alias("bucket"),
+                    )
+                    for band in range(N_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bucket")
+    a = bands.select(F.col("doc_id").alias("a_id"), "band", "bucket")
+    b = bands.select(F.col("doc_id").alias("b_id"), "band", "bucket")
+    candidates = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+        .distinct()
+    )
+    return _exact_jaccard_pairs(shingled, candidates)
+
+
+@register("dedup_simhash")  # bit-band candidate gen => rows-only check
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash (16-bit) near-dup detection.
+
+    Per doc: tokens -> xxhash64 -> per-bit +/-1 votes -> sign bits ->
+    16-bit fingerprint. Candidates via 4-bit nibble bands: Hamming
+    distance <= 2 flips at most 2 of 4 nibbles, so at least one nibble
+    matches exactly (pigeonhole) — an equi-join on (nibble_idx, nibble)
+    finds every such pair without n² comparisons. Exact Hamming filter
+    on candidates.
+    """
+    n_bits = 16
+    with_dups = _with_dups(spark, sf_dir)
+    toks = with_dups.select("doc_id", F.explode(tokens("text")).alias("tok"))
+    h = F.xxhash64("tok")
+    votes = toks.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(h.bitwiseAND(F.lit(1 << i)) != 0, 1).otherwise(-1)
+            ).alias(f"b{i}")
+            for i in range(n_bits)
+        ]
+    )
+    fp = votes.select(
+        "doc_id",
+        sum(
+            [
+                F.when(F.col(f"b{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+                for i in range(n_bits)
+            ],
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("simhash"),
+    )
+    nibbles = fp.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("nib_idx"),
+                        F.shiftright("simhash", 4 * i)
+                        .bitwiseAND(F.lit(0xF))
+                        .alias("nib"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("nb"),
+    ).select("doc_id", "simhash", "nb.nib_idx", "nb.nib")
+    a = nibbles.select(
+        F.col("doc_id").alias("a_id"), F.col("simhash").alias("a_fp"), "nib_idx", "nib"
+    )
+    b = nibbles.select(
+        F.col("doc_id").alias("b_id"), F.col("simhash").alias("b_fp"), "nib_idx", "nib"
+    )
+    cand = (
+        a.join(b, ["nib_idx", "nib"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", "a_fp", "b_fp")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("a_fp").bitwiseXOR(F.col("b_fp")))
+    return (
+        cand.select("a_id", "b_id", hamming.cast("long").alias("hamming"))
+        .filter(F.col("hamming") <= 2)
+    )
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle="""
+    SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+           round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[])), 4)
+               AS cos_sim
+    FROM embeddings a
+    JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                 CAST(b.embedding AS DOUBLE[])) >= 0.45
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup: all pairs with cosine >= 0.45.
+
+    Deliberately the brute-force baseline (broadcast nested-loop,
+    O(n²) in vectors — fine for a deduped embedding dim table). The
+    scale path for this exact predicate is the hyperplane-LSH
+    bucketing in similarity.py: same output, candidates first.
+    """
+    e = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    a = e.select(F.col("vec_id").alias("a_id"), F.col("embedding").alias("a_emb"))
+    b = e.select(F.col("vec_id").alias("b_id"), F.col("embedding").alias("b_emb"))
+    cos = cosine(F.col("a_emb"), F.col("b_emb"))
+    return (
+        a.join(F.broadcast(b), F.col("a_id") < F.col("b_id"))
+        .withColumn("cos_raw", cos)
+        .filter(F.col("cos_raw") >= 0.45)
+        .select("a_id", "b_id", F.round("cos_raw", 4).alias("cos_sim"))
+    )

@@ -1,0 +1,298 @@
+"""Join operators (SURVEY.md §2.3).
+
+The reference's only joins are the geoheader ⋈ estimates ⋈ margins
+equi-joins that assemble per-ACS-table outputs [PK — SURVEY.md §1.1].
+Spark-first re-expression: geoheader-sized dims are *broadcast* (no
+shuffle of the fact side), the fact⋈fact joins shuffle on their keys
+and AQE handles skew; the extension joins (semi/anti/range/as-of/
+similarity) are compositions of built-in operators chosen for their
+100 TB shuffle behavior — notes per operator.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from census_postgres_py_spark.registry import register
+from census_postgres_py_spark.tables import t
+
+
+@register(
+    "join_inner_hash",
+    oracle="""
+    SELECT o_orderkey, c_custkey, c_mktsegment, o_totalprice
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    """,
+)
+def join_inner_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi inner join (estimates ⋈ margins on (stusab, logrecno, seq)
+    in the reference [PK]). Catalyst picks broadcast/SMJ/shuffled-hash
+    by size; at 100 TB both sides shuffle-partition on the key and AQE
+    splits skewed partitions."""
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    return o.join(c, o.o_custkey == c.c_custkey, "inner").select(
+        "o_orderkey", "c_custkey", "c_mktsegment", "o_totalprice"
+    )
+
+
+@register(
+    "join_broadcast",
+    oracle="""
+    SELECT p_brand,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           CAST(count(*) AS BIGINT) AS n_lines
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY p_brand
+    """,
+)
+def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-dim broadcast join (geoheader is tiny vs sequence files
+    [PK]). `broadcast()` pins the dim to every executor: the 100 TB
+    fact side never shuffles for this join."""
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "join_multiway_star",
+    oracle="""
+    SELECT r_name,
+           CAST(year(o_orderdate) AS BIGINT) AS o_year,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_orders
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1999-01-01'
+    GROUP BY r_name, o_year
+    """,
+)
+def join_multiway_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLAGSHIP: 3+-table star join — revenue per region per year.
+
+    The reference's geo ⋈ e ⋈ m assembly generalized [PK]. Plan shape
+    at scale: lineitem⋈orders shuffles on orderkey (the only big⋈big
+    edge), then orders-side dims collapse to broadcasts (customer is
+    1e-4 of lineitem; nation/region are constants) — one shuffle total
+    plus the agg exchange. The o_orderdate filter prunes before the
+    shuffle.
+    """
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    o = (
+        t(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp"))
+        )
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+    )
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = t(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    r = t(spark, sf_dir, "region")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+        )
+    )
+
+
+@register(
+    "join_left_outer",
+    oracle="""
+    SELECT c_custkey,
+           CAST(count(o_orderkey) AS BIGINT) AS n_orders,
+           round(coalesce(sum(o_totalprice), 0.0), 2) AS spent
+    FROM customer
+    LEFT JOIN (SELECT * FROM orders
+               WHERE o_orderdate < TIMESTAMP '1996-01-01') o
+           ON c_custkey = o_custkey
+    GROUP BY c_custkey
+    """,
+)
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join keeping unmatched keys (geographies with no
+    estimate rows survive the reference's assembly [PK?])."""
+    c = t(spark, sf_dir, "customer").select("c_custkey")
+    o = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp"))
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias("spent"),
+        )
+    )
+
+
+@register(
+    "join_semi",
+    oracle="""
+    SELECT c_custkey, c_name, c_mktsegment
+    FROM customer
+    WHERE c_custkey IN (SELECT o_custkey FROM orders
+                        WHERE o_orderstatus = 'F')
+    """,
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Existence filter as left-semi join: no row duplication, right
+    side reduced to distinct keys during the shuffle."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+@register(
+    "join_anti",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-existence filter as left-anti join."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders").select("o_custkey")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "join_theta_range",
+    oracle="""
+    SELECT p.p_size,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           round(avg(abs(p.p_retailprice - q.p_retailprice)), 2)
+               AS avg_price_gap
+    FROM part p
+    JOIN part q
+      ON q.p_size BETWEEN p.p_size - 1 AND p.p_size + 1
+     AND p.p_partkey < q.p_partkey
+    GROUP BY p.p_size
+    """,
+)
+def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Band (range) join WITHOUT the O(n²) nested-loop plan.
+
+    A naive `ON q.size BETWEEN p.size-1 AND p.size+1` is a broadcast
+    nested-loop join — quadratic, dead at scale. Because the band is
+    bounded (±1 on an integer key), we expand the left side into its 3
+    candidate keys with `explode` and run a plain shuffled EQUI join —
+    linear in input, shuffle-partitioned on the band key. This is the
+    standard interval-bucketing rewrite for fixed-width band joins.
+    """
+    p = t(spark, sf_dir, "part").select("p_partkey", "p_size", "p_retailprice")
+    q = p.select(
+        F.col("p_partkey").alias("q_partkey"),
+        F.col("p_size").alias("q_size"),
+        F.col("p_retailprice").alias("q_retailprice"),
+    )
+    expanded = p.withColumn(
+        "cand_size",
+        F.explode(
+            F.array(F.col("p_size") - 1, F.col("p_size"), F.col("p_size") + 1)
+        ),
+    )
+    pairs = expanded.join(q, expanded.cand_size == q.q_size).filter(
+        F.col("p_partkey") < F.col("q_partkey")
+    )
+    return pairs.groupBy("p_size").agg(
+        F.count("*").alias("n_pairs"),
+        F.round(F.avg(F.abs(F.col("p_retailprice") - F.col("q_retailprice"))), 2).alias(
+            "avg_price_gap"
+        ),
+    )
+
+
+@register(
+    "join_asof",
+    oracle="""
+    WITH tagged AS (
+        SELECT user_id, ts, event_id, value, 1 AS is_probe
+        FROM events WHERE event_type = 'purchase'
+        UNION ALL
+        SELECT user_id, ts, event_id, value, 0 AS is_probe
+        FROM events WHERE event_type = 'view'
+    ), merged AS (
+        SELECT user_id, ts, event_id, is_probe,
+               max(CASE WHEN is_probe = 0 THEN epoch_ms(ts) END)
+                   OVER (PARTITION BY user_id
+                         ORDER BY ts, is_probe
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS prior_view_ms
+        FROM tagged
+    )
+    SELECT event_id, user_id, epoch_ms(ts) AS ts_ms, prior_view_ms
+    FROM merged WHERE is_probe = 1
+    """,
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each 'purchase' matched to the user's latest
+    prior-or-equal 'view' (SURVEY.md §2.3 join_asof).
+
+    Spark has no native ASOF JOIN; the scalable idiom is the
+    union-merge: tag both sides, sort within user by (ts, tag) — one
+    shuffle, one sort, NO join — and carry the most recent right-side
+    timestamp forward with a running `max` window. Equivalent to
+    `pd.merge_asof` per user but fully distributed; skew is bounded by
+    per-user event counts. Timestamps exported as epoch-millis (ns
+    parquet source; Spark stores µs — see registry notes).
+    """
+    ev = t(spark, sf_dir, "events")
+    probes = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", F.lit(1).alias("is_probe")
+    )
+    quotes = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", "event_id", F.lit(0).alias("is_probe")
+    )
+    tagged = probes.unionByName(quotes)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_probe")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = tagged.withColumn(
+        "prior_view_ms",
+        F.max(
+            F.when(F.col("is_probe") == 0, F.unix_millis(F.col("ts")))
+        ).over(w),
+    )
+    return merged.filter(F.col("is_probe") == 1).select(
+        "event_id",
+        "user_id",
+        F.unix_millis("ts").alias("ts_ms"),
+        "prior_view_ms",
+    )

@@ -1,0 +1,201 @@
+"""Scalar function families (SURVEY.md §2.7).
+
+The reference's scalar surface is trivial string/cast work during load
+[PK]; breadth here is a mandated extension so the oracle queries can
+exercise string/date/math/array/json/map expressions. Everything stays
+JVM-side inside whole-stage codegen — no Python in the row path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from census_postgres_py_spark.registry import register
+from census_postgres_py_spark.tables import t
+
+
+@register(
+    "fn_string",
+    oracle="""
+    SELECT c_custkey,
+           CAST(regexp_extract(c_name, '([0-9]+)', 1) AS BIGINT) AS cust_num,
+           lower(c_mktsegment) AS seg_lower,
+           CAST(length(c_name) AS BIGINT) AS name_len,
+           replace(c_name, 'Customer#', 'C-') AS short_name,
+           substring(c_mktsegment, 1, 4) AS seg4,
+           upper(trim(c_mktsegment)) AS seg_up
+    FROM customer
+    """,
+)
+def fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String family: regexp_extract / lower / length / replace /
+    substring / trim / upper."""
+    c = t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.regexp_extract("c_name", r"([0-9]+)", 1).cast("long").alias("cust_num"),
+        F.lower("c_mktsegment").alias("seg_lower"),
+        F.length("c_name").cast("long").alias("name_len"),
+        F.replace(F.col("c_name"), F.lit("Customer#"), F.lit("C-")).alias(
+            "short_name"
+        ),
+        F.substring("c_mktsegment", 1, 4).alias("seg4"),
+        F.upper(F.trim(F.col("c_mktsegment"))).alias("seg_up"),
+    )
+
+
+@register(
+    "fn_date",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS BIGINT) AS o_year,
+           CAST(month(o_orderdate) AS BIGINT) AS o_month,
+           CAST(dayofmonth(o_orderdate) AS BIGINT) AS o_day,
+           CAST(date_diff('day', CAST(o_orderdate AS DATE),
+                          DATE '2002-01-01') AS BIGINT) AS age_days,
+           CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+           CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE)
+               AS plus3m
+    FROM orders
+    """,
+)
+def fn_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date family: year/month/day extraction, datediff, date_trunc,
+    add_months."""
+    o = t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("long").alias("o_year"),
+        F.month("o_orderdate").cast("long").alias("o_month"),
+        F.dayofmonth("o_orderdate").cast("long").alias("o_day"),
+        F.datediff(F.lit("2002-01-01").cast("date"), F.to_date("o_orderdate"))
+        .cast("long")
+        .alias("age_days"),
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month_start"),
+        F.add_months(F.to_date("o_orderdate"), 3).alias("plus3m"),
+    )
+
+
+@register(
+    "fn_math",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           round(l_extendedprice * (1 - l_discount) * (1 + l_tax), 2)
+               AS charge,
+           abs(l_discount - 0.05) AS disc_dist,
+           CAST(ceil(l_quantity) AS BIGINT) AS qty_ceil,
+           CAST(floor(l_extendedprice / 1000) AS BIGINT) AS price_k,
+           round(ln(l_extendedprice + 1), 6) AS log_price,
+           round(pow(l_quantity, 2), 2) AS qty_sq,
+           round(sqrt(l_extendedprice), 6) AS price_sqrt
+    FROM lineitem
+    """,
+)
+def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math family: round/abs/ceil/floor/ln/pow/sqrt."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(
+            F.col("l_extendedprice")
+            * (1 - F.col("l_discount"))
+            * (1 + F.col("l_tax")),
+            2,
+        ).alias("charge"),
+        F.abs(F.col("l_discount") - 0.05).alias("disc_dist"),
+        F.ceil("l_quantity").cast("long").alias("qty_ceil"),
+        F.floor(F.col("l_extendedprice") / 1000).cast("long").alias("price_k"),
+        F.round(F.log(F.col("l_extendedprice") + 1), 6).alias("log_price"),
+        F.round(F.pow("l_quantity", F.lit(2)), 2).alias("qty_sq"),
+        F.round(F.sqrt("l_extendedprice"), 6).alias("price_sqrt"),
+    )
+
+
+@register(
+    "fn_array",
+    oracle="""
+    SELECT vec_id, label,
+           CAST(len(embedding) AS BIGINT) AS dim,
+           round(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+                                              x -> x * x))), 6) AS l2_norm,
+           round(CAST(embedding[1] AS DOUBLE), 6) AS first_val,
+           round(CAST(list_max(embedding) AS DOUBLE), 6) AS max_val,
+           round(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+                                         x -> x)) / len(embedding), 6)
+               AS mean_val
+    FROM embeddings
+    """,
+)
+def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array / higher-order family: size, aggregate (fold), transform,
+    element_at, array_max — L2 norm of the embedding column computed
+    entirely JVM-side (no UDF)."""
+    e = t(spark, sf_dir, "embeddings")
+    as_double = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    sq_sum = F.aggregate(
+        as_double, F.lit(0.0), lambda acc, x: acc + x * x
+    )
+    val_sum = F.aggregate(as_double, F.lit(0.0), lambda acc, x: acc + x)
+    return e.select(
+        "vec_id",
+        "label",
+        F.size("embedding").cast("long").alias("dim"),
+        F.round(F.sqrt(sq_sum), 6).alias("l2_norm"),
+        F.round(F.element_at(F.col("embedding"), 1).cast("double"), 6).alias(
+            "first_val"
+        ),
+        F.round(F.array_max("embedding").cast("double"), 6).alias("max_val"),
+        F.round(val_sum / F.size("embedding"), 6).alias("mean_val"),
+    )
+
+
+@register(
+    "fn_json",
+    oracle="""
+    SELECT event_type,
+           round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 2)
+               AS avg_k,
+           CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS max_k,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON family: extract a path from the props column and aggregate
+    over it (`get_json_object` is codegen'd JVM-side)."""
+    ev = t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        F.round(F.avg(k), 2).alias("avg_k"),
+        F.max(k).alias("max_k"),
+        F.count("*").alias("n"),
+    )
+
+
+@register(
+    "fn_map",
+    oracle="""
+    SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS cnt
+    FROM events
+    GROUP BY user_id, event_type
+    """,
+)
+def fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map family round-trip: build a per-user event_type->count map
+    (map_from_entries) then explode it back to rows — the final
+    relation is SQL-checkable even though the intermediate is a map."""
+    ev = t(spark, sf_dir, "events")
+    counted = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("cnt"))
+    as_map = counted.groupBy("user_id").agg(
+        F.map_from_entries(F.collect_list(F.struct("event_type", "cnt"))).alias(
+            "type_counts"
+        )
+    )
+    exploded = as_map.select(
+        "user_id", F.explode(F.col("type_counts")).alias("event_type", "cnt")
+    )
+    return exploded.select("user_id", "event_type", F.col("cnt").cast("long").alias("cnt"))

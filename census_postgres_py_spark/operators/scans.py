@@ -1,0 +1,240 @@
+"""Scans / sources / sinks as verifiable operators (SURVEY.md §2.1).
+
+Round-trip pattern: where an operator's subject is I/O (CSV,
+fixed-width, JSONL, partitioned parquet), the query WRITES fixture data
+through the source format into a scratch dir, re-reads it through the
+engine's reader, and returns a relation the oracle can reproduce from
+the original table — lossless round-trip == hash match.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from census_postgres_py_spark.registry import register
+from census_postgres_py_spark.sources.csv_sequence import (
+    read_sequence_csv,
+    write_sequence_csv,
+)
+from census_postgres_py_spark.sources.fixed_width import (
+    FixedWidthField,
+    format_fixed_width,
+    parse_fixed_width_lines,
+)
+from census_postgres_py_spark.sources.metadata_schema import schema_from_metadata
+from census_postgres_py_spark.tables import t
+
+
+def _scratch(name: str) -> str:
+    base = os.path.join(tempfile.gettempdir(), "cppys_scratch")
+    os.makedirs(base, exist_ok=True)
+    return os.path.join(base, name)
+
+
+@register(
+    "scan_parquet",
+    oracle="""
+    SELECT l_orderkey, l_quantity, l_extendedprice
+    FROM lineitem
+    WHERE l_quantity >= 25
+    """,
+)
+def scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Columnar scan with projection + predicate. ReadSchema in the
+    physical plan carries exactly 3 of lineitem's 11 columns and the
+    quantity filter shows in PushedFilters — verified in
+    tests/test_plans.py; this is what makes a 100 TB scan pay only for
+    what the query touches."""
+    return (
+        t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") >= 25)
+        .select("l_orderkey", "l_quantity", "l_extendedprice")
+    )
+
+
+@register(
+    "scan_csv_schema",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+)
+def scan_csv_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ACS sequence-file-style scan: headerless CSV, explicit schema,
+    '.' jam values as NULL. Round-trips `nation` through the format;
+    hash-equality with the parquet original proves losslessness."""
+    path = _scratch("nation_seq_csv")
+    nation = t(spark, sf_dir, "nation")
+    write_sequence_csv(nation, path)
+    schema = T.StructType(
+        [
+            T.StructField("n_nationkey", T.IntegerType()),
+            T.StructField("n_name", T.StringType()),
+            T.StructField("n_regionkey", T.IntegerType()),
+        ]
+    )
+    return read_sequence_csv(spark, path, schema).select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+
+
+@register(
+    "scan_fixed_width",
+    oracle="SELECT r_regionkey, r_name FROM region",
+)
+def scan_fixed_width(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geoheader-style fixed-width parse: render `region` as
+    fixed-width lines, re-parse by column offsets, compare to the
+    original. substring/trim/cast projections — no UDF, codegen'd."""
+    layout = [
+        FixedWidthField("r_regionkey", 1, 4, "int"),
+        FixedWidthField("r_name", 5, 16, "string"),
+    ]
+    region = t(spark, sf_dir, "region")
+    lines = format_fixed_width(region, layout)
+    return parse_fixed_width_lines(lines, layout)
+
+
+@register(
+    "scan_jsonl",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS k_total
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def scan_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines scan with explicit schema: dump events as JSONL,
+    re-read, aggregate. Integer payloads keep the round-trip exact
+    (float round-trip via JSON is exercised in tests, not the oracle).
+    """
+    path = _scratch("events_jsonl")
+    ev = t(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.get_json_object("props", "$.k").cast("long").alias("k"),
+    )
+    ev.write.mode("overwrite").json(path)
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("k", T.LongType()),
+        ]
+    )
+    back = spark.read.schema(schema).json(path)
+    return back.groupBy("event_type").agg(
+        F.count("*").alias("n"), F.sum("k").alias("k_total")
+    )
+
+
+@register(
+    "sink_parquet",
+    oracle="""
+    SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned columnar sink (the load stage analog): write orders
+    partitioned by order year — the (year, span, stusab) layout of
+    SURVEY.md §1.2 that enables partition pruning at 100 TB — then
+    re-read and aggregate per partition."""
+    path = _scratch("orders_by_year")
+    o = t(spark, sf_dir, "orders").withColumn(
+        "o_year", F.year("o_orderdate").cast("long")
+    )
+    o.write.mode("overwrite").partitionBy("o_year").parquet(path)
+    back = spark.read.parquet(path)
+    return back.groupBy(F.col("o_year").cast("long").alias("o_year")).agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
+@register(
+    "schema_from_metadata",
+    oracle="""
+    SELECT * FROM (VALUES
+        ('fileid',   'string', CAST(1 AS BIGINT)),
+        ('filetype', 'string', CAST(2 AS BIGINT)),
+        ('stusab',   'string', CAST(3 AS BIGINT)),
+        ('chariter', 'string', CAST(4 AS BIGINT)),
+        ('sequence', 'int',    CAST(5 AS BIGINT)),
+        ('logrecno', 'int',    CAST(6 AS BIGINT)),
+        ('b01001001', 'double', CAST(7 AS BIGINT)),
+        ('b01001002', 'double', CAST(8 AS BIGINT)),
+        ('b01001003', 'double', CAST(9 AS BIGINT))
+    ) AS meta(col_name, data_type, ordinal)
+    """,
+)
+def schema_from_metadata_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-driven schema generation: an ACS-lookup-style spec
+    (table b01001, 3 cells) becomes a StructType; the query returns the
+    generated schema as rows so the oracle pins the expected layout."""
+    from census_postgres_py_spark.sources.metadata_schema import (
+        sequence_table_schema,
+    )
+
+    schema = sequence_table_schema("B01001", cell_count=3)
+    rows = [
+        (f.name, f.dataType.simpleString(), i + 1)
+        for i, f in enumerate(schema.fields)
+    ]
+    out_schema = T.StructType(
+        [
+            T.StructField("col_name", T.StringType()),
+            T.StructField("data_type", T.StringType()),
+            T.StructField("ordinal", T.LongType()),
+        ]
+    )
+    return spark.createDataFrame(rows, out_schema)
+
+
+@register("sink_jdbc")  # integration-flagged: no Postgres in harness
+def sink_jdbc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JDBC bulk-load plan (BASELINE.json:7). The harness has no
+    Postgres/driver jar, so this constructs and validates the
+    partitioned writer configuration (sources/jdbc.py) WITHOUT
+    executing the save, and reports the staged plan — rows-only check.
+    The executable path is `sources.jdbc.write_jdbc`, integration-
+    tested when a real URL is supplied via SPARK_GRAFT_JDBC_URL."""
+    from census_postgres_py_spark.sources.jdbc import JdbcTarget, writer_for
+
+    nation = t(spark, sf_dir, "nation")
+    target = JdbcTarget(
+        url=os.environ.get(
+            "SPARK_GRAFT_JDBC_URL", "jdbc:postgresql://localhost:5432/census"
+        ),
+        table="acs_demo.nation",
+        user=os.environ.get("SPARK_GRAFT_JDBC_USER", "census"),
+        password=os.environ.get("SPARK_GRAFT_JDBC_PASSWORD", ""),
+        num_partitions=4,
+    )
+    writer = writer_for(nation, target)  # validates options; does not connect
+    executed = False
+    if os.environ.get("SPARK_GRAFT_JDBC_URL"):
+        writer.save()
+        executed = True
+    n = nation.count()
+    out_schema = T.StructType(
+        [
+            T.StructField("dbtable", T.StringType()),
+            T.StructField("mode", T.StringType()),
+            T.StructField("num_partitions", T.LongType()),
+            T.StructField("rows_staged", T.LongType()),
+            T.StructField("executed", T.BooleanType()),
+        ]
+    )
+    return spark.createDataFrame(
+        [(target.table, "overwrite", target.num_partitions, n, executed)],
+        out_schema,
+    )

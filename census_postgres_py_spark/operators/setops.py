@@ -1,0 +1,153 @@
+"""Sort / limit / set ops / exact dedup (SURVEY.md §2.6).
+
+Reference behaviors re-expressed: multi-state stacking = UNION ALL
+[PK], primary-key enforcement on load = keep-one dedup [PK]; the rest
+are mandated extensions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from census_postgres_py_spark.registry import register
+from census_postgres_py_spark.tables import t
+
+
+@register(
+    "sort_limit",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 10
+    """,
+)
+def sort_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k. Spark compiles orderBy().limit(k) to TakeOrdered —
+    per-partition heaps of size k, merged on the driver: no global
+    sort, no full shuffle, O(n) scan at any scale. The tiebreak on
+    o_orderkey makes the row SET deterministic (hash compare is
+    order-insensitive but the cut line must be stable)."""
+    return (
+        t(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "union_all",
+    oracle="""
+    WITH stacked AS (
+        SELECT l_returnflag, l_quantity FROM lineitem
+        WHERE l_shipdate < TIMESTAMP '1998-01-01'
+        UNION ALL
+        SELECT l_returnflag, l_quantity FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+    )
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(l_quantity), 2) AS qty
+    FROM stacked
+    GROUP BY l_returnflag
+    """,
+)
+def union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-file stacking (the reference stacks per-state sequence
+    files into one table [PK]). unionByName is plan-level — zero data
+    movement; partitions of both inputs are simply concatenated."""
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_quantity", "l_shipdate"
+    )
+    cutoff = F.lit("1998-01-01").cast("timestamp")
+    early = li.filter(F.col("l_shipdate") < cutoff)
+    late = li.filter(F.col("l_shipdate") >= cutoff)
+    return (
+        early.unionByName(late)
+        .groupBy("l_returnflag")
+        .agg(F.count("*").alias("n"), F.round(F.sum("l_quantity"), 2).alias("qty"))
+    )
+
+
+@register(
+    "set_intersect",
+    oracle="""
+    SELECT o_custkey FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+      AND o_orderdate <  TIMESTAMP '1996-01-01'
+    INTERSECT
+    SELECT o_custkey FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1997-01-01'
+    """,
+)
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers active in both 1995 and 1996 (set semantics)."""
+    o = t(spark, sf_dir, "orders").select("o_custkey", "o_orderdate")
+
+    def year(y: int) -> DataFrame:
+        return o.filter(
+            (F.col("o_orderdate") >= F.lit(f"{y}-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit(f"{y + 1}-01-01").cast("timestamp"))
+        ).select("o_custkey")
+
+    return year(1995).intersect(year(1996))
+
+
+@register(
+    "set_except",
+    oracle="""
+    SELECT o_custkey FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+      AND o_orderdate <  TIMESTAMP '1996-01-01'
+    EXCEPT
+    SELECT o_custkey FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1997-01-01'
+    """,
+)
+def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers active in 1995 but not 1996 (set difference)."""
+    o = t(spark, sf_dir, "orders").select("o_custkey", "o_orderdate")
+
+    def year(y: int) -> DataFrame:
+        return o.filter(
+            (F.col("o_orderdate") >= F.lit(f"{y}-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit(f"{y + 1}-01-01").cast("timestamp"))
+        ).select("o_custkey")
+
+    return year(1995).exceptAll(year(1996)).distinct()
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+    WITH doubled AS (
+        SELECT * FROM lineitem UNION ALL SELECT * FROM lineitem
+    ), kept AS (
+        SELECT *, row_number() OVER (
+                    PARTITION BY l_orderkey, l_linenumber
+                    ORDER BY l_orderkey) AS rn
+        FROM doubled
+    )
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(l_quantity), 2) AS qty
+    FROM kept WHERE rn = 1
+    GROUP BY l_returnflag
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact key dedup (PK enforcement on load [PK]). dropDuplicates
+    keeps ONE arbitrary row per key — one hash shuffle on the key, no
+    sort. Deterministic here because duplicate rows are identical; the
+    oracle mirrors keep-one with row_number()=1, NOT DISTINCT."""
+    li = t(spark, sf_dir, "lineitem")
+    doubled = li.unionByName(li)
+    return (
+        doubled.dropDuplicates(["l_orderkey", "l_linenumber"])
+        .groupBy("l_returnflag")
+        .agg(F.count("*").alias("n"), F.round(F.sum("l_quantity"), 2).alias("qty"))
+    )

@@ -1,0 +1,172 @@
+"""Text analysis over `documents` (BASELINE.json:6 "text analysis";
+SURVEY.md §2.7 fn_text_analysis + training-pipeline extensions).
+
+Everything is built-in column expressions (split / explode / filter /
+regexp) — language ID, quality scoring, token counting and
+fingerprinting all run inside whole-stage codegen, so at 100 TB these
+are scan-bound single-pass operators with one optional agg shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from census_postgres_py_spark.functions.text import normalized, tokens
+from census_postgres_py_spark.registry import register
+from census_postgres_py_spark.tables import t
+
+STOPWORDS = ("the", "a", "of", "and", "to")
+# BPE-ish lexer: word pieces, digit runs, single non-space symbols
+TOKEN_REGEX = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
+
+
+@register(
+    "fn_text_analysis",
+    oracle="""
+    WITH toks AS (
+        SELECT lang,
+               unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+                   AS term
+        FROM documents
+    ), tf AS (
+        SELECT lang, term, CAST(count(*) AS BIGINT) AS freq
+        FROM toks GROUP BY lang, term
+    ), ranked AS (
+        SELECT lang, term, freq,
+               row_number() OVER (PARTITION BY lang
+                                  ORDER BY freq DESC, term) AS rn
+        FROM tf
+    )
+    SELECT lang, term, freq, CAST(rn AS BIGINT) AS rn
+    FROM ranked WHERE rn <= 10
+    """,
+)
+def fn_text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term frequency: top-10 terms per language (split -> explode ->
+    groupBy -> per-group top-k)."""
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select("lang", F.explode(tokens("text")).alias("term"))
+    tf = toks.groupBy("lang", "term").agg(F.count("*").alias("freq"))
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("lang").orderBy(F.col("freq").desc(), F.col("term"))
+    return (
+        tf.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 10)
+        .select("lang", "term", "freq", "rn")
+    )
+
+
+@register(
+    "text_quality",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, n_chars,
+               list_filter(string_split(text, ' '), x -> x <> '') AS w
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(w) AS BIGINT) AS n_tokens,
+           round(CAST(n_chars AS DOUBLE) / len(w), 4) AS chars_per_token,
+           round(CAST(len(list_filter(w,
+                     x -> x IN ({", ".join(repr(s) for s in STOPWORDS)})))
+                 AS DOUBLE) / len(w), 4) AS stopword_ratio,
+           round(CAST(len(list_filter(w, x -> len(x) >= 5)) AS DOUBLE)
+                 / len(w), 4) AS long_token_ratio
+    FROM toks
+    """,
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: token count, mean token length, stopword and
+    long-token ratios — the standard cheap pre-training filters."""
+    docs = t(spark, sf_dir, "documents")
+    w = tokens("text")
+    n = F.size(w)
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter(w, lambda x: F.array_contains(stop_arr, x)))
+    n_long = F.size(F.filter(w, lambda x: F.length(x) >= 5))
+    return docs.select(
+        "doc_id",
+        n.cast("long").alias("n_tokens"),
+        F.round(F.col("n_chars").cast("double") / n, 4).alias("chars_per_token"),
+        F.round(n_stop.cast("double") / n, 4).alias("stopword_ratio"),
+        F.round(n_long.cast("double") / n, 4).alias("long_token_ratio"),
+    )
+
+
+@register(
+    "text_lang_id",
+    oracle="""
+    SELECT doc_id, lang,
+           CASE WHEN contains(' ' || text || ' ', ' the ') THEN 'en'
+                WHEN contains(' ' || text || ' ', ' le ')  THEN 'fr'
+                WHEN contains(' ' || text || ' ', ' der ') THEN 'de'
+                WHEN contains(' ' || text || ' ', ' el ')  THEN 'es'
+                WHEN contains(' ' || text || ' ', ' de ')  THEN 'zh'
+                ELSE 'unk' END AS pred_lang
+    FROM documents
+    """,
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-stopword language-ID heuristic. The fixture corpus is
+    synthetic pseudo-English for every lang label, so accuracy is not
+    the point — the operator shape (per-doc classification from n-gram
+    evidence, pure expressions, no UDF) is."""
+    docs = t(spark, sf_dir, "documents")
+    padded = F.concat(F.lit(" "), F.col("text"), F.lit(" "))
+    pred = (
+        F.when(padded.contains(" the "), "en")
+        .when(padded.contains(" le "), "fr")
+        .when(padded.contains(" der "), "de")
+        .when(padded.contains(" el "), "es")
+        .when(padded.contains(" de "), "zh")
+        .otherwise("unk")
+    )
+    return docs.select("doc_id", "lang", pred.alias("pred_lang"))
+
+
+@register(
+    "text_token_count",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{TOKEN_REGEX}')) AS BIGINT)
+               AS n_bpeish,
+           CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+               AS BIGINT) AS n_ws
+    FROM documents
+    """,
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace tokens and a BPE-ish
+    regex lexer (letter runs / digit runs / single symbols)."""
+    docs = t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(TOKEN_REGEX)))
+        .cast("long")
+        .alias("n_bpeish"),
+        F.size(tokens("text")).cast("long").alias("n_ws"),
+    )
+
+
+@register(
+    "text_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp,
+           CAST(length(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
+               AS BIGINT) AS norm_len
+    FROM documents
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: md5 over the whitespace-normalized
+    text (exact-dedup key at scale — hash once, groupBy the digest)."""
+    docs = t(spark, sf_dir, "documents")
+    norm = normalized("text")
+    return docs.select(
+        "doc_id",
+        F.md5(norm.cast("binary")).alias("fp"),
+        F.length(norm).cast("long").alias("norm_len"),
+    )

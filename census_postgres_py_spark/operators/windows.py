@@ -1,0 +1,157 @@
+"""Window functions (SURVEY.md §2.5 — all mandated extensions; the
+reference delegates analytics to Postgres [PK]).
+
+Every window here partitions by a key (customer / user): one shuffle
+on the partition key, per-partition sort, streamed frame evaluation.
+At 100 TB the concern is partition-key skew — a single giant user
+serializes — which AQE can't fix for windows; the mitigation is
+pre-bucketing on the key or splitting hot keys upstream.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from census_postgres_py_spark.registry import register
+from census_postgres_py_spark.tables import t
+
+
+@register(
+    "win_rank",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           CAST(row_number() OVER (PARTITION BY o_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn,
+           CAST(rank() OVER (PARTITION BY o_custkey
+                 ORDER BY o_totalprice DESC) AS BIGINT) AS rnk
+    FROM orders
+    """,
+)
+def win_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking within partition; row_number carries a total tiebreak
+    so the assignment is deterministic."""
+    o = t(spark, sf_dir, "orders")
+    w_rn = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    w_rk = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc())
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        F.row_number().over(w_rn).cast("long").alias("rn"),
+        F.rank().over(w_rk).cast("long").alias("rnk"),
+    )
+
+
+@register(
+    "win_topk_group",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS BIGINT) AS rn
+    FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               row_number() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        FROM orders
+    ) WHERE rn <= 3
+    """,
+)
+def win_topk_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k = rank + filter. Catalyst 4.x rewrites this to
+    a per-partition top-k (WindowGroupLimit) before the shuffle, so
+    only k rows per group per partition move."""
+    o = t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).cast("long").alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@register(
+    "win_lag_lead",
+    oracle="""
+    SELECT event_id, user_id,
+           epoch_ms(ts) - lag(epoch_ms(ts)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS gap_ms,
+           lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+    FROM events
+    """,
+)
+def win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead analytics: inter-event gap per user."""
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ms = F.unix_millis("ts")
+    return ev.select(
+        "event_id",
+        "user_id",
+        (ms - F.lag(ms).over(w)).alias("gap_ms"),
+        F.lead("event_type").over(w).alias("next_type"),
+    )
+
+
+@register(
+    "win_running",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           round(sum(o_totalprice) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+               AS running_spend
+    FROM orders
+    """,
+)
+def win_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running (cumulative) frame aggregate per customer."""
+    o = t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_spend"),
+    )
+
+
+@register(
+    "win_range_frame",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           round(avg(o_totalprice) OVER (
+               PARTITION BY o_custkey
+               ORDER BY CAST(epoch(o_orderdate) AS BIGINT)
+               RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW), 2)
+               AS trailing_avg_7d
+    FROM orders
+    """,
+)
+def win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame on epoch seconds: 7-day trailing average of order
+    totals per customer (value-based frame, not row-based)."""
+    o = t(spark, sf_dir, "orders").withColumn(
+        "epoch_s", F.col("o_orderdate").cast("long")
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("epoch_s")
+        .rangeBetween(-7 * 86400, 0)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.avg("o_totalprice").over(w), 2).alias("trailing_avg_7d"),
+    )

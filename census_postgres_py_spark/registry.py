@@ -1,0 +1,81 @@
+"""Operator registry — the bridge between operator modules and the
+driver contract in ``__spark_entry__.py``.
+
+Each operator module registers its queries with :func:`register`; the
+driver-facing ``queries()`` / ``oracle_sql()`` are assembled here. IDs
+match SURVEY.md §2's inventory row by row.
+
+Oracle-compare rules baked into every registration (SURVEY.md §2
+"oracle gotchas"):
+
+* every computed column is aliased identically in Spark and SQL;
+* floating aggregates are ``round(..., 2)`` on both sides so
+  accumulation-order ULP drift can't flip the value hash;
+* DuckDB ``sum(int)`` returns HUGEINT — oracle SQL casts to BIGINT;
+* array outputs are rendered to sorted strings (hash-stable);
+* timestamps sourced from ``events.ts`` (ns in parquet) are exported
+  as epoch-millis BIGINT (Spark stores us, DuckDB us — ms is exact on
+  both sides);
+* top-k queries carry a total tiebreak order.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+_QUERIES: dict[str, QueryFn] = {}
+_ORACLES: dict[str, str] = {}
+_LOADED = False
+
+
+def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
+    """Register ``fn`` under SURVEY §2 id ``name``.
+
+    ``oracle`` is the DuckDB-equivalent SQL; ``None`` marks a
+    rows-only-checkable operator (approximate / stateful / UDF-opaque
+    per __spark_entry__.py:31-38).
+    """
+
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in _QUERIES:
+            raise ValueError(f"duplicate operator id: {name}")
+        _QUERIES[name] = fn
+        if oracle is not None:
+            _ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _load_modules() -> None:
+    """Import every operator module for its registration side effects."""
+    global _LOADED
+    if _LOADED:
+        return
+    from census_postgres_py_spark import operators  # noqa: F401
+
+    _LOADED = True
+
+
+def all_queries() -> dict[str, QueryFn]:
+    _load_modules()
+    return dict(_QUERIES)
+
+
+def all_oracles() -> dict[str, str]:
+    _load_modules()
+    return dict(_ORACLES)
+
+
+def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-join revenue per region per year — the smoke-check query.
+
+    Touches scan → broadcast dim joins → multiway join → filter →
+    hash agg → sort: the minimal end-to-end slice (SURVEY.md §7 step 0).
+    """
+    _load_modules()
+    return _QUERIES["join_multiway_star"](spark, sf_dir)

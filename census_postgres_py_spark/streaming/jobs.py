@@ -1,0 +1,160 @@
+"""True `readStream` operators (SURVEY.md §2.8).
+
+Each query here REALLY runs a Structured Streaming job: a file-source
+stream over the fixture parquet, micro-batches driven synchronously to
+completion (`processAllAvailable`), results landed in a memory sink or
+via `foreachBatch`. Because Spark's windowed aggregations are identical
+expressions on batch and stream, the stream results are still
+oracle-checkable against plain SQL — the strongest batch==stream
+equivalence check available (SURVEY.md §5.2 item 5).
+
+Scale notes: on a real cluster the file source becomes Kafka, the
+memory sink becomes a table/topic, and `processAllAvailable` becomes a
+continuous trigger; the dataflow (watermark -> stateful op -> sink) is
+unchanged.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from census_postgres_py_spark.registry import register
+from census_postgres_py_spark.tables import t
+
+HOUR_MS = 3_600_000
+
+
+def _scratch(name: str) -> str:
+    base = os.path.join(tempfile.gettempdir(), "cppys_stream", name)
+    os.makedirs(base, exist_ok=True)
+    return base
+
+
+def _events_stream(spark: SparkSession, sf_dir: str, max_files: int | None = None):
+    schema = t(spark, sf_dir, "events").schema
+    reader = spark.readStream.schema(schema)
+    if max_files is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files)
+    return reader.parquet(f"{sf_dir}/events.parquet")
+
+
+def _run_to_memory(df: DataFrame, output_mode: str) -> DataFrame:
+    """Drive a streaming DF to completion into a memory sink; return
+    the materialized table as a batch DataFrame."""
+    name = f"sink_{uuid.uuid4().hex[:12]}"
+    q = (
+        df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return df.sparkSession.table(name)
+
+
+@register(
+    "stream_watermark",
+    oracle=f"""
+    SELECT (epoch_ms(ts) // {HOUR_MS}) * {HOUR_MS} AS hour_ms,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(value), 2) AS total_value
+    FROM events
+    GROUP BY 1
+    """,
+)
+def stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling-window aggregation on a REAL stream.
+
+    1-hour event-time watermark bounds state; complete output mode so
+    every window is emitted for the oracle compare (append mode would
+    hold back windows newer than the final watermark). At scale the
+    watermark is what lets a 30-day event stream run in bounded
+    memory: closed windows are evicted from the state store.
+    """
+    ev = _events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(F.unix_millis(F.col("w.start")).alias("hour_ms"), "n", "total_value")
+    )
+    return _run_to_memory(agg, "complete")
+
+
+@register(
+    "stream_dedup_state",
+    oracle="SELECT event_id, event_type, user_id FROM events",
+)
+def stream_dedup_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming dedup: the event file is delivered TWICE
+    (two micro-batches via maxFilesPerTrigger=1); dropDuplicates state
+    suppresses every second-pass row, so exactly the original events
+    come out. (Unbounded dedup state here — for 100 TB streams use
+    dropDuplicatesWithinWatermark so state is evicted at the
+    watermark.)"""
+    src_dir = _scratch(f"dedup_src_{os.path.basename(sf_dir)}")
+    ev = t(spark, sf_dir, "events").select("event_id", "event_type", "user_id")
+    ev.coalesce(1).write.mode("overwrite").parquet(src_dir)
+    ev.coalesce(1).write.mode("append").parquet(src_dir)
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    deduped = stream.dropDuplicates(["event_id"])
+    return _run_to_memory(deduped, "append").select(
+        "event_id", "event_type", "user_id"
+    )
+
+
+@register(
+    "stream_foreachbatch",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(value), 2) AS total_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def stream_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch sink pattern (the streaming->JDBC bridge of
+    BASELINE.json:7: per micro-batch, an arbitrary batch writer runs —
+    here parquet-append standing in for `write.jdbc`, which is
+    integration-flagged with no Postgres in the harness).
+
+    Each batch aggregates then appends to the sink dir; the returned
+    relation re-aggregates across batch outputs, so the oracle total
+    is exact regardless of how many micro-batches ran.
+    """
+    out_dir = _scratch(f"feb_out_{os.path.basename(sf_dir)}_{uuid.uuid4().hex[:8]}")
+
+    def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        (
+            batch_df.groupBy("event_type")
+            .agg(F.count("*").alias("n"), F.sum("value").alias("value_sum"))
+            .write.mode("append")
+            .parquet(out_dir)
+        )
+
+    ev = _events_stream(spark, sf_dir)
+    q = ev.writeStream.foreachBatch(write_batch).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    back = spark.read.parquet(out_dir)
+    return back.groupBy("event_type").agg(
+        F.sum("n").cast("long").alias("n"),
+        F.round(F.sum("value_sum"), 2).alias("total_value"),
+    )
