@@ -178,7 +178,7 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit grouping sets {(status), (priority), ()} via Spark SQL
     (same Catalyst Expand node as rollup/cube)."""
-    register_views(spark, sf_dir)
+    register_views(spark, sf_dir, names=["orders"])
     return spark.sql(
         """
         SELECT o_orderstatus, o_orderpriority,

@@ -178,13 +178,23 @@ def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c_custkey, c_name
     FROM customer c
-    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderstatus = 'F')
     """,
 )
 def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Non-existence filter as left-anti join."""
+    """Non-existence filter as left-anti join.
+
+    Restricted to 'F'-status orders so the result is non-empty in the
+    fixture (every customer has SOME order — an unrestricted anti-join
+    returns 0 rows and proves nothing)."""
     c = t(spark, sf_dir, "customer")
-    o = t(spark, sf_dir, "orders").select("o_custkey")
+    o = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_custkey")
+    )
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
         "c_custkey", "c_name"
     )

@@ -81,8 +81,8 @@ def fn_date(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fn_math",
     oracle="""
     SELECT l_orderkey, l_linenumber,
-           round(l_extendedprice * (1 - l_discount) * (1 + l_tax), 2)
-               AS charge,
+           floor(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                 * 100 + 0.5) / 100 AS charge,
            abs(l_discount - 0.05) AS disc_dist,
            CAST(ceil(l_quantity) AS BIGINT) AS qty_ceil,
            CAST(floor(l_extendedprice / 1000) AS BIGINT) AS price_k,
@@ -93,17 +93,21 @@ def fn_date(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Math family: round/abs/ceil/floor/ln/pow/sqrt."""
+    """Math family: round/abs/ceil/floor/ln/pow/sqrt.
+
+    ``charge`` is rounded as ``floor(x*100 + 0.5)/100`` on BOTH sides:
+    Spark ``round(double, 2)`` rounds the decimal rendering HALF_UP
+    while DuckDB rounds the binary double, and they disagree on
+    half-cent boundaries — identical arithmetic sidesteps that.
+    """
     li = t(spark, sf_dir, "lineitem")
+    charge_raw = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
+    )
     return li.select(
         "l_orderkey",
         "l_linenumber",
-        F.round(
-            F.col("l_extendedprice")
-            * (1 - F.col("l_discount"))
-            * (1 + F.col("l_tax")),
-            2,
-        ).alias("charge"),
+        (F.floor(charge_raw * 100 + 0.5) / 100).alias("charge"),
         F.abs(F.col("l_discount") - 0.05).alias("disc_dist"),
         F.ceil("l_quantity").cast("long").alias("qty_ceil"),
         F.floor(F.col("l_extendedprice") / 1000).cast("long").alias("price_k"),

@@ -7,7 +7,7 @@ are mandated extensions.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from census_postgres_py_spark.registry import register
@@ -109,7 +109,13 @@ def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Customers active in 1995 but not 1996 (set difference)."""
+    """Customers active in 1995 but not 1996 (set difference).
+
+    ``DataFrame.subtract`` is EXCEPT DISTINCT — any custkey present in
+    1996 at all is removed, matching SQL EXCEPT. (``exceptAll`` is
+    multiset subtraction and keeps keys whose 1995 count exceeds their
+    1996 count — wrong semantics here.)
+    """
     o = t(spark, sf_dir, "orders").select("o_custkey", "o_orderdate")
 
     def year(y: int) -> DataFrame:
@@ -118,7 +124,7 @@ def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("o_orderdate") < F.lit(f"{y + 1}-01-01").cast("timestamp"))
         ).select("o_custkey")
 
-    return year(1995).exceptAll(year(1996)).distinct()
+    return year(1995).distinct().subtract(year(1996))
 
 
 @register(
@@ -129,7 +135,9 @@ def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), kept AS (
         SELECT *, row_number() OVER (
                     PARTITION BY l_orderkey, l_linenumber
-                    ORDER BY l_orderkey) AS rn
+                    ORDER BY l_partkey, l_suppkey, l_quantity,
+                             l_extendedprice, l_discount, l_tax,
+                             l_returnflag, l_linestatus, l_shipdate) AS rn
         FROM doubled
     )
     SELECT l_returnflag,
@@ -140,14 +148,36 @@ def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact key dedup (PK enforcement on load [PK]). dropDuplicates
-    keeps ONE arbitrary row per key — one hash shuffle on the key, no
-    sort. Deterministic here because duplicate rows are identical; the
-    oracle mirrors keep-one with row_number()=1, NOT DISTINCT."""
+    """Exact key dedup (PK enforcement on load [PK]).
+
+    The fixture's (l_orderkey, l_linenumber) key groups carry DIFFERING
+    payloads, so an arbitrary keep-one (``dropDuplicates``) is
+    nondeterministic and can't hash-match any oracle. Instead keep-one
+    is pinned to a total deterministic order over every remaining
+    column — a window + ``rn = 1``, identical on both sides. Same scale
+    shape as dropDuplicates: one hash shuffle on the key plus a
+    per-partition sort.
+    """
     li = t(spark, sf_dir, "lineitem")
     doubled = li.unionByName(li)
+    order_cols = [
+        "l_partkey",
+        "l_suppkey",
+        "l_quantity",
+        "l_extendedprice",
+        "l_discount",
+        "l_tax",
+        "l_returnflag",
+        "l_linestatus",
+        "l_shipdate",
+    ]
+    w = (
+        Window.partitionBy("l_orderkey", "l_linenumber")
+        .orderBy(*[F.col(c) for c in order_cols])
+    )
     return (
-        doubled.dropDuplicates(["l_orderkey", "l_linenumber"])
+        doubled.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
         .groupBy("l_returnflag")
         .agg(F.count("*").alias("n"), F.round(F.sum("l_quantity"), 2).alias("qty"))
     )

@@ -143,7 +143,7 @@ def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
-        F.size(F.regexp_extract_all("text", F.lit(TOKEN_REGEX)))
+        F.size(F.regexp_extract_all("text", F.lit(TOKEN_REGEX), 0))
         .cast("long")
         .alias("n_bpeish"),
         F.size(tokens("text")).cast("long").alias("n_ws"),

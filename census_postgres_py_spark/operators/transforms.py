@@ -84,12 +84,16 @@ def filter_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT n_nationkey, n_name, n_regionkey
     FROM nation
-    WHERE n_name IN ('CHINA', 'FRANCE', 'GERMANY', 'BRAZIL', 'CANADA')
+    WHERE n_name IN ('NATION_2', 'NATION_7', 'NATION_11', 'NATION_19',
+                     'NATION_23')
     """,
 )
 def filter_in_set(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Membership filter (the reference's chosen-states list)."""
-    chosen = ["CHINA", "FRANCE", "GERMANY", "BRAZIL", "CANADA"]
+    """Membership filter (the reference's chosen-states list).
+
+    Names are the synthetic fixture's actual nation names so the query
+    returns non-empty results — a 0-row hash match proves nothing."""
+    chosen = ["NATION_2", "NATION_7", "NATION_11", "NATION_19", "NATION_23"]
     return (
         t(spark, sf_dir, "nation")
         .filter(F.col("n_name").isin(chosen))
@@ -129,14 +133,18 @@ def null_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     "cast_types",
     oracle="""
     SELECT l_orderkey, l_linenumber,
-           CAST(l_quantity AS INTEGER) AS qty_int,
+           CAST(trunc(l_quantity) AS INTEGER) AS qty_int,
            strftime(l_shipdate, '%Y-%m-%d') AS ship_day_str,
-           CAST(l_extendedprice AS BIGINT) AS price_long
+           CAST(trunc(l_extendedprice) AS BIGINT) AS price_long
     FROM lineitem
     """,
 )
 def cast_types(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Text/numeric casts during load (sequence-file cell typing [PK])."""
+    """Text/numeric casts during load (sequence-file cell typing [PK]).
+
+    Spark ``CAST(double AS INT)`` truncates toward zero; DuckDB's
+    rounds to nearest — the oracle pins truncation explicitly with
+    ``trunc()`` so both sides share one semantic."""
     li = t(spark, sf_dir, "lineitem")
     return li.select(
         "l_orderkey",

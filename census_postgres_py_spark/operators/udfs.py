@@ -28,20 +28,24 @@ def _discounted_price(price: pd.Series, discount: pd.Series) -> pd.Series:
     "udf_pandas_scalar",
     oracle="""
     SELECT l_orderkey, l_linenumber,
-           round(l_extendedprice * (1 - l_discount), 2) AS disc_price
+           floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) / 100
+               AS disc_price
     FROM lineitem
     """,
 )
 def udf_pandas_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vectorized scalar Pandas UDF vs the same math natively (the
-    oracle IS the native twin — exact float-op-order equality)."""
+    oracle IS the native twin — exact float-op-order equality).
+
+    Rounding is ``floor(x*100 + 0.5)/100`` on both sides: Spark/DuckDB
+    ``round(double, 2)`` disagree on half-cent boundaries (decimal-
+    rendering HALF_UP vs binary-double rounding)."""
     li = t(spark, sf_dir, "lineitem")
     return li.select(
         "l_orderkey",
         "l_linenumber",
-        F.round(_discounted_price("l_extendedprice", "l_discount"), 2).alias(
-            "disc_price"
-        ),
+        (F.floor(_discounted_price("l_extendedprice", "l_discount") * 100 + 0.5) / 100)
+        .alias("disc_price"),
     )
 
 

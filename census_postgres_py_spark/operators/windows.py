@@ -131,19 +131,24 @@ def win_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     "win_range_frame",
     oracle="""
     SELECT o_custkey, o_orderkey,
-           round(avg(o_totalprice) OVER (
+           floor(avg(o_totalprice) OVER (
                PARTITION BY o_custkey
                ORDER BY CAST(epoch(o_orderdate) AS BIGINT)
-               RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW), 2)
-               AS trailing_avg_7d
+               RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW)
+                 * 100 + 0.5) / 100 AS trailing_avg_7d
     FROM orders
     """,
 )
 def win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RANGE frame on epoch seconds: 7-day trailing average of order
-    totals per customer (value-based frame, not row-based)."""
+    totals per customer (value-based frame, not row-based).
+
+    o_orderdate is TIMESTAMP_NTZ from parquet, which Spark 4 refuses to
+    cast to BIGINT directly — epoch seconds are derived via
+    ``unix_micros(cast(... as timestamp))`` (session tz is UTC, so this
+    equals DuckDB's ``epoch()``)."""
     o = t(spark, sf_dir, "orders").withColumn(
-        "epoch_s", F.col("o_orderdate").cast("long")
+        "epoch_s", F.expr("unix_micros(cast(o_orderdate as timestamp)) div 1000000")
     )
     w = (
         Window.partitionBy("o_custkey")
@@ -153,5 +158,7 @@ def win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.select(
         "o_custkey",
         "o_orderkey",
-        F.round(F.avg("o_totalprice").over(w), 2).alias("trailing_avg_7d"),
+        (F.floor(F.avg("o_totalprice").over(w) * 100 + 0.5) / 100).alias(
+            "trailing_avg_7d"
+        ),
     )

@@ -36,11 +36,25 @@ def _scratch(name: str) -> str:
 
 
 def _events_stream(spark: SparkSession, sf_dir: str, max_files: int | None = None):
-    schema = t(spark, sf_dir, "events").schema
-    reader = spark.readStream.schema(schema)
+    """File-source stream over the events fixture.
+
+    Spark's file stream source needs a DIRECTORY (a single .parquet
+    file fails the basePath check), and the fixture file stores ts as
+    INT64 TIMESTAMP(NANOS), which the parquet reader rejects outright —
+    so the fixture is materialized once per sf_dir into a scratch
+    directory via tables.t (which performs the ns→µs rebuild) and the
+    stream tails that directory. On a real deployment this stage IS the
+    landing zone: upstream writers drop parquet files in, the stream
+    picks them up per micro-batch."""
+    src_dir = _scratch(f"events_src_{os.path.basename(sf_dir)}")
+    marker = os.path.join(src_dir, "_SUCCESS")
+    ev = t(spark, sf_dir, "events")
+    if not os.path.exists(marker):
+        ev.write.mode("overwrite").parquet(src_dir)
+    reader = spark.readStream.schema(ev.schema)
     if max_files is not None:
         reader = reader.option("maxFilesPerTrigger", max_files)
-    return reader.parquet(f"{sf_dir}/events.parquet")
+    return reader.parquet(src_dir)
 
 
 def _run_to_memory(df: DataFrame, output_mode: str) -> DataFrame:
@@ -117,7 +131,7 @@ def stream_dedup_state(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "stream_foreachbatch",
+    "stream_foreachbatch_jdbc",
     oracle="""
     SELECT event_type,
            CAST(count(*) AS BIGINT) AS n,
@@ -126,7 +140,7 @@ def stream_dedup_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY event_type
     """,
 )
-def stream_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+def stream_foreachbatch_jdbc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """foreachBatch sink pattern (the streaming->JDBC bridge of
     BASELINE.json:7: per micro-batch, an arbitrary batch writer runs —
     here parquet-append standing in for `write.jdbc`, which is
