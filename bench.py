@@ -1,0 +1,107 @@
+"""Per-round benchmark — the driver's perf feedback loop (BASELINE.md).
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+``/root/testdata/sf0.1``) on ``local[$SPARK_GRAFT_CPUS]`` and prints
+ONE JSON line::
+
+    {"metric": "headline_total", "value": N, "unit": "sec",
+     "queries": {"join_multiway_star": sec, ...}, "sf": 0.1}
+
+Execution is forced through the ``noop`` sink so we measure the full
+plan (scan -> shuffle -> result) without driver-collect overhead —
+the same shape a cluster job would have.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+# Representative of every operator family in SURVEY.md §2 + the
+# LLM-pipeline extensions; the expensive queries are all here so a
+# perf regression can't hide.
+HEADLINE = [
+    "join_multiway_star",
+    "agg_hash",
+    "join_asof",
+    "join_theta_range",
+    "win_rank",
+    "win_running",
+    "pivot_wide",
+    "unpivot_long",
+    "fn_text_analysis",
+    "text_token_count",
+    "dedup_ngram_jaccard",
+    "dedup_minhash",
+    "dedup_simhash",
+    "dedup_embedding_cosine",
+    "join_similarity_topk",
+    "join_similarity_ann",
+    "stream_session",
+    "udf_grouped_map",
+]
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else None
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("census-spark-bench")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+
+    def run(qid: str) -> float:
+        t0 = time.perf_counter()
+        qs[qid](spark, sf_dir).write.mode("overwrite").format("noop").save()
+        return round(time.perf_counter() - t0, 3)
+
+    run("join_multiway_star")  # warm up JVM/codegen before timing
+
+    times: dict[str, float] = {}
+    for qid in HEADLINE:
+        if qid not in qs:
+            times[qid] = -1.0
+            continue
+        try:
+            times[qid] = run(qid)
+        except Exception as exc:  # noqa: BLE001 — bench must always emit JSON
+            print(f"bench: {qid} failed: {exc}", file=sys.stderr)
+            times[qid] = -1.0
+
+    total = round(sum(v for v in times.values() if v >= 0), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
