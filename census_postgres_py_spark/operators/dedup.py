@@ -212,64 +212,82 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("dedup_simhash")  # bit-band candidate gen => rows-only check
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash (16-bit) near-dup detection.
+    """SimHash (64-bit) near-dup detection.
 
     Per doc: tokens -> xxhash64 -> per-bit +/-1 votes -> sign bits ->
-    16-bit fingerprint. Candidates via 4-bit nibble bands: Hamming
-    distance <= 2 flips at most 2 of 4 nibbles, so at least one nibble
-    matches exactly (pigeonhole) — an equi-join on (nibble_idx, nibble)
-    finds every such pair without n² comparisons. Exact Hamming filter
-    on candidates.
+    64-bit fingerprint. Candidates via 8-bit byte bands: Hamming
+    distance <= 3 flips at most 3 of the 8 bands, so at least one band
+    matches exactly (pigeonhole; the guarantee holds up to 7 flips) —
+    an equi-join on (band_idx, band) finds every such pair without n²
+    comparisons. Exact Hamming filter (k=3, the classic 64-bit simhash
+    near-dup radius) on candidates. 64 bits / 8-bit bands (256 values
+    per band) keeps per-band collisions rare at real corpus sizes,
+    where a 16-bit fingerprint's 4-bit nibbles would collide on
+    virtually every pair. Measured on the injected drop-2-tokens
+    mutations at sf0.01: Hamming distribution mean 2.5 / p75 3.25, so
+    k=3 recovers ~75% of them — simhash is the coarse/cheap screen;
+    dedup_minhash is the high-recall path (finds 100%, tests assert).
     """
-    n_bits = 16
+    from functools import reduce
+
+    n_bits = 64
+    n_bands = 8
+    band_width = n_bits // n_bands
     with_dups = _with_dups(spark, sf_dir)
     toks = with_dups.select("doc_id", F.explode(tokens("text")).alias("tok"))
     h = F.xxhash64("tok")
     votes = toks.groupBy("doc_id").agg(
         *[
             F.sum(
-                F.when(h.bitwiseAND(F.lit(1 << i)) != 0, 1).otherwise(-1)
+                # shiftright+mask instead of a 1<<i literal: bit 63's
+                # mask doesn't fit a positive signed-64 literal
+                F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
             ).alias(f"b{i}")
             for i in range(n_bits)
         ]
     )
     fp = votes.select(
         "doc_id",
-        sum(
+        reduce(
+            lambda acc, c: acc.bitwiseOR(c),
             [
-                F.when(F.col(f"b{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+                F.shiftleft(
+                    F.when(F.col(f"b{i}") > 0, F.lit(1)).otherwise(F.lit(0)).cast(
+                        "long"
+                    ),
+                    i,
+                )
                 for i in range(n_bits)
             ],
-            F.lit(0),
-        )
-        .cast("long")
-        .alias("simhash"),
+        ).alias("simhash"),
     )
-    nibbles = fp.select(
+    bands = fp.select(
         "doc_id",
         "simhash",
         F.explode(
             F.array(
                 *[
                     F.struct(
-                        F.lit(i).alias("nib_idx"),
-                        F.shiftright("simhash", 4 * i)
-                        .bitwiseAND(F.lit(0xF))
-                        .alias("nib"),
+                        F.lit(i).alias("band_idx"),
+                        F.shiftright("simhash", band_width * i)
+                        .bitwiseAND(F.lit(0xFF))
+                        .alias("band"),
                     )
-                    for i in range(4)
+                    for i in range(n_bands)
                 ]
             )
-        ).alias("nb"),
-    ).select("doc_id", "simhash", "nb.nib_idx", "nb.nib")
-    a = nibbles.select(
-        F.col("doc_id").alias("a_id"), F.col("simhash").alias("a_fp"), "nib_idx", "nib"
+        ).alias("bb"),
+    ).select("doc_id", "simhash", "bb.band_idx", "bb.band")
+    a = bands.select(
+        F.col("doc_id").alias("a_id"), F.col("simhash").alias("a_fp"),
+        "band_idx", "band",
     )
-    b = nibbles.select(
-        F.col("doc_id").alias("b_id"), F.col("simhash").alias("b_fp"), "nib_idx", "nib"
+    b = bands.select(
+        F.col("doc_id").alias("b_id"), F.col("simhash").alias("b_fp"),
+        "band_idx", "band",
     )
     cand = (
-        a.join(b, ["nib_idx", "nib"])
+        a.join(b, ["band_idx", "band"])
         .filter(F.col("a_id") < F.col("b_id"))
         .select("a_id", "b_id", "a_fp", "b_fp")
         .distinct()
@@ -277,7 +295,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     hamming = F.bit_count(F.col("a_fp").bitwiseXOR(F.col("b_fp")))
     return (
         cand.select("a_id", "b_id", hamming.cast("long").alias("hamming"))
-        .filter(F.col("hamming") <= 2)
+        .filter(F.col("hamming") <= 3)
     )
 
 
@@ -295,19 +313,64 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup: all pairs with cosine >= 0.45.
+    """Embedding-cosine near-dup: all pairs with cosine >= 0.45 (exact).
 
-    Deliberately the brute-force baseline (broadcast nested-loop,
-    O(n²) in vectors — fine for a deduped embedding dim table). The
-    scale path for this exact predicate is the hyperplane-LSH
-    bucketing in similarity.py: same output, candidates first.
+    Candidates-first, two stages:
+
+    1. Candidate generation — the full embedding table (a dim table:
+       vectors deduped upstream) is collected once into a normalized
+       float64 matrix and broadcast; a ``mapInPandas`` pass computes
+       each Arrow batch's similarities against it with one BLAS matmul
+       and keeps pairs >= 0.449. The 0.001 slack is ~1e12 × any
+       float-accumulation-order difference, so candidate RECALL vs the
+       exact predicate is total — this stage can only over-select.
+    2. Exact verification — the (tiny) candidate set joins back to the
+       embedding table and is re-scored with the sequential JVM-side
+       ``zip_with``/``aggregate`` fold, whose left-to-right accumulation
+       matches DuckDB's bit-for-bit; the real >= 0.45 filter and the
+       rounding both happen here, so the output is identical to the
+       brute-force plan's.
+
+    Replaces the O(n²)-folds broadcast nested-loop (82 s at sf0.1 —
+    2M interpreted 64-dim folds; now ~2M FLOP-dense matmul rows plus
+    ~200 folds). At 100 TB the broadcast side no longer fits one
+    executor: block the matrix into chunks and loop the same matmul
+    per chunk, or switch to the hyperplane-LSH bucketing in
+    similarity.py when approximate recall is acceptable.
     """
+    import numpy as np
+    import pandas as pd
+
     e = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+
+    rows = e.collect()  # build side of the broadcast, like a hash-join build
+    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    bc = spark.sparkContext.broadcast((ids, mat))
+
+    def candidates(batches):
+        b_ids, b_mat = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            a_ids = pdf["vec_id"].to_numpy(np.int64)
+            a_mat = np.stack(pdf["embedding"].to_numpy())
+            a_mat = a_mat.astype(np.float64)
+            a_mat /= np.linalg.norm(a_mat, axis=1, keepdims=True)
+            sims = a_mat @ b_mat.T
+            ai, bi = np.nonzero((sims >= 0.449) & (a_ids[:, None] < b_ids[None, :]))
+            yield pd.DataFrame({"a_id": a_ids[ai], "b_id": b_ids[bi]})
+
+    cand = e.mapInPandas(candidates, "a_id long, b_id long")
+
     a = e.select(F.col("vec_id").alias("a_id"), F.col("embedding").alias("a_emb"))
     b = e.select(F.col("vec_id").alias("b_id"), F.col("embedding").alias("b_emb"))
     cos = cosine(F.col("a_emb"), F.col("b_emb"))
     return (
-        a.join(F.broadcast(b), F.col("a_id") < F.col("b_id"))
+        F.broadcast(cand)
+        .join(a, "a_id")
+        .join(b, "b_id")
         .withColumn("cos_raw", cos)
         .filter(F.col("cos_raw") >= 0.45)
         .select("a_id", "b_id", F.round("cos_raw", 4).alias("cos_sim"))
