@@ -8,10 +8,18 @@ Two paths, same API shape:
   CORRECTNESS baseline; per-probe cost is a linear scan, so it's fine
   whenever |probes| is small, even at 100 TB of vectors.
 * `join_similarity_ann` — hyperplane-LSH (sign-random-projection)
-  bucketed ANN: vectors land in 2^nbits buckets; probes search only
-  their own bucket plus Hamming-1 neighbors (multiprobe). Sub-linear
-  candidates; approximate recall => rows-only check, with tests
-  asserting recall against the brute-force twin.
+  bucketed ANN: vectors land in 2^nbits buckets; probes search their
+  own bucket plus all Hamming-1 and Hamming-2 neighbors (multiprobe).
+  Sub-linear candidates; approximate recall => rows-only check, with
+  tests asserting recall against the brute-force twin.
+* `join_similarity_ivf` — IVF (inverted-file) ANN: a small k-means
+  coarse quantizer partitions vectors into cells; probes scan only the
+  `nprobe` nearest cells. The better regime fit when neighbor
+  similarity is low (this fixture's top-3 cosines are ~0.35-0.4, where
+  per-hyperplane collision odds are barely better than chance).
+
+Measured recall@3 vs the exact twin (fixed seeds, deterministic):
+LSH+H2 ~0.6, IVF ~0.7-0.8 — tests/test_similarity.py pins floors.
 """
 
 from __future__ import annotations
@@ -104,14 +112,18 @@ def _bucket_expr(emb_col: str) -> Column:
 
 @register("join_similarity_ann")  # approximate recall => rows-only
 def join_similarity_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hyperplane-LSH ANN top-k (the 100 TB scale path).
+    """Hyperplane-LSH ANN top-k (bucketed scale path).
 
     Index side: one pass computes each vector's 6-bit bucket (a plain
     column — at scale this is the partition key, written once).
-    Query side: each probe expands to its bucket + the 6 Hamming-1
-    buckets (multiprobe), equi-joins on bucket, and only candidates
-    get exact cosine + rank. Deterministic (fixed hyperplane seed) but
-    recall < 1 vs the exact twin — tests measure it.
+    Query side: each probe expands to its bucket plus every Hamming-1
+    and Hamming-2 neighbor (multiprobe: 1+6+15 = 22 of 64 buckets),
+    equi-joins on bucket, and only candidates get exact cosine + rank.
+    Deterministic (fixed hyperplane seed) but recall < 1 vs the exact
+    twin — tests/test_similarity.py pins the floor (~0.6 here; this
+    fixture's neighbors sit at cosine ~0.35-0.4, a hard regime for
+    sign-random-projection — see join_similarity_ivf for the better
+    regime fit).
     """
     e = t(spark, sf_dir, "embeddings").select(
         "vec_id", "embedding", _bucket_expr("embedding").alias("bucket")
@@ -121,22 +133,118 @@ def join_similarity_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("probe_emb"),
         F.col("bucket").alias("probe_bucket"),
     )
-    # multiprobe: own bucket + flip each of the 6 bits
+    # multiprobe: own bucket + every 1-bit and 2-bit flip
+    flips = [0] + [1 << i for i in range(N_PLANES)] + [
+        (1 << i) | (1 << j)
+        for i in range(N_PLANES)
+        for j in range(i + 1, N_PLANES)
+    ]
     probe_buckets = probes.select(
         "probe_id",
         "probe_emb",
         F.explode(
             F.array(
-                F.col("probe_bucket"),
-                *[
-                    F.col("probe_bucket").bitwiseXOR(F.lit(1 << i))
-                    for i in range(N_PLANES)
-                ],
+                *[F.col("probe_bucket").bitwiseXOR(F.lit(m)) for m in flips]
             )
         ).alias("bucket"),
     )
     cand = e.join(F.broadcast(probe_buckets), "bucket").filter(
         F.col("vec_id") != F.col("probe_id")
+    )
+    scored = cand.withColumn("cos_raw", cosine(F.col("embedding"), F.col("probe_emb")))
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("cos_raw").desc(), F.col("vec_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= TOP_K)
+        .select(
+            "probe_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round("cos_raw", 6).alias("cos_sim"),
+            "rn",
+        )
+    )
+
+
+N_CELLS = 32
+N_PROBE_CELLS = 8
+_KMEANS_ITERS = 2
+_CENTROID_SEED = 7
+
+
+@register("join_similarity_ivf")  # approximate recall => rows-only
+def join_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) ANN top-k — the low-similarity-regime path.
+
+    Index side: a k-means coarse quantizer (K=32, 2 Lloyd iterations,
+    fixed seed, trained driver-side — coarse quantizers are always
+    trained on a small sample, faiss-style; at 100 TB train on a
+    seeded sample and write each vector's cell id as its partition
+    key at ingest). Assignment runs distributed as one `mapInPandas`
+    matmul per Arrow batch against the broadcast (32 x 64) centroid
+    matrix.
+
+    Query side: each probe expands to its `nprobe`=8 nearest cells,
+    equi-joins on cell, and only those candidates (~25% of vectors
+    here) get the exact JVM-side cosine + WindowGroupLimit rank.
+    Deterministic; recall@3 vs the exact twin ~0.7-0.8 on this
+    fixture (tests pin the floor), vs ~0.6 for the hyperplane-LSH
+    variant — IVF degrades more gracefully when true neighbors are
+    only weakly similar.
+    """
+    import numpy as np
+    import pandas as pd
+
+    e = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+
+    rows = e.collect()  # quantizer training set (sampled at scale)
+    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    rng = np.random.RandomState(_CENTROID_SEED)
+    cent = mat[rng.choice(len(ids), N_CELLS, replace=False)].copy()
+    for _ in range(_KMEANS_ITERS):
+        assign = np.argmax(mat @ cent.T, axis=1)
+        for k in range(N_CELLS):
+            members = mat[assign == k]
+            if len(members):
+                v = members.mean(axis=0)
+                cent[k] = v / np.linalg.norm(v)
+    bc_cent = spark.sparkContext.broadcast(cent)
+
+    def assign_cells(batches):
+        c = bc_cent.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            m /= np.linalg.norm(m, axis=1, keepdims=True)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(np.int64),
+                    "cell": np.argmax(m @ c.T, axis=1).astype(np.int64),
+                }
+            )
+
+    cells = e.mapInPandas(assign_cells, "vec_id long, cell long")
+
+    # probe -> its nprobe nearest cells (driver-side: 5 probes x 32 cells)
+    probe_cells = []
+    for pid in PROBE_IDS:
+        v = mat[np.where(ids == pid)[0][0]]
+        for c in np.argsort(-(cent @ v))[:N_PROBE_CELLS]:
+            probe_cells.append((int(pid), int(c)))
+    pc = spark.createDataFrame(probe_cells, "probe_id long, cell long")
+    probes = e.filter(F.col("vec_id").isin(PROBE_IDS)).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_emb")
+    )
+
+    cand = (
+        cells.join(F.broadcast(pc), "cell")
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .join(e, "vec_id")
+        .join(F.broadcast(probes), "probe_id")
     )
     scored = cand.withColumn("cos_raw", cosine(F.col("embedding"), F.col("probe_emb")))
     w = Window.partitionBy("probe_id").orderBy(

@@ -1,0 +1,84 @@
+"""Self-differential checks for the near-dup family (SURVEY.md §5.2
+item 3): the approximate paths are graded rows-only by the driver, so
+these tests are what pins their quality — recall against the exact
+twin / the injected mutations, and output invariants."""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import SF_SMOKE, SF_T2
+
+from census_postgres_py_spark.operators.dedup import DUP_OFFSET
+
+
+def _pairs(df):
+    return {(r["a_id"], r["b_id"]) for r in df.collect()}
+
+
+@pytest.fixture(scope="module")
+def ngram_pairs(spark, queries):
+    return _pairs(queries["dedup_ngram_jaccard"](spark, SF_SMOKE))
+
+
+@pytest.fixture(scope="module")
+def minhash_pairs(spark, queries):
+    return _pairs(queries["dedup_minhash"](spark, SF_SMOKE))
+
+
+def _injected(pairs):
+    return {p for p in pairs if p[1] - p[0] == DUP_OFFSET}
+
+
+def test_minhash_finds_every_injected_pair(minhash_pairs):
+    # 200 mutated copies are injected (doc_id < 200 -> doc_id + 1M);
+    # drop-2-tokens keeps Jaccard >= ~0.9, far above the LSH knee, so
+    # banding recall on them must be total.
+    assert len(_injected(minhash_pairs)) == 200
+
+
+def test_minhash_matches_exact_twin(minhash_pairs, ngram_pairs):
+    # At this fixture's similarity profile the LSH candidate set
+    # covers every >= 0.5-Jaccard pair, so after the exact re-check
+    # minhash and the exact inverted-index twin agree exactly.
+    assert minhash_pairs == ngram_pairs
+
+
+def test_simhash_recall_on_injected(spark, queries):
+    pairs = _pairs(queries["dedup_simhash"](spark, SF_SMOKE))
+    found = len(_injected(pairs))
+    # simhash@k=3 is the coarse screen: ~75% of drop-2-token
+    # mutations land within Hamming 3 of the original (measured;
+    # docstring in operators/dedup.py). Floor well below measurement
+    # so fixture regeneration can't flap the suite.
+    assert found >= 120, f"simhash found only {found}/200 injected pairs"
+
+
+def test_embedding_cosine_invariants(spark, queries):
+    rows = queries["dedup_embedding_cosine"](spark, SF_T2).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r["a_id"] < r["b_id"]
+        assert 0.45 <= r["cos_sim"] <= 1.0
+
+
+def test_embedding_cosine_candidate_recall(spark, queries):
+    """The matmul candidate stage must not lose a single pair the
+    brute-force predicate would emit: re-derive the answer with a
+    driver-side exact computation and compare sets."""
+    import numpy as np
+
+    from census_postgres_py_spark.tables import t
+
+    rows = t(spark, SF_T2, "embeddings").select("vec_id", "embedding").collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = mat @ mat.T
+    ai, bi = np.nonzero(np.triu(sims >= 0.45, k=1))
+    expect = {
+        (int(min(ids[i], ids[j])), int(max(ids[i], ids[j])))
+        for i, j in zip(ai, bi)
+    }
+    got = _pairs(queries["dedup_embedding_cosine"](spark, SF_T2))
+    assert got == expect

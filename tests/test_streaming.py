@@ -1,0 +1,51 @@
+"""Batch==stream equivalence (SURVEY.md §5.2 item 5): the real
+`readStream` jobs in streaming/jobs.py must produce exactly what the
+equivalent batch aggregation produces — Spark's windowed aggregations
+are the same Catalyst expressions either way, so any divergence is a
+bug in our streaming plumbing (source materialization, watermark,
+output mode)."""
+
+from __future__ import annotations
+
+from tests.conftest import SF_SMOKE
+
+
+def _rowset(df):
+    return {tuple(r) for r in df.select(*sorted(df.columns)).collect()}
+
+
+def test_stream_watermark_equals_batch_tumbling(spark, queries):
+    # stream_watermark = watermarked 1h tumbling agg on a real stream;
+    # stream_tumbling = the identical agg expressed on the batch table.
+    stream = queries["stream_watermark"](spark, SF_SMOKE)
+    batch = queries["stream_tumbling"](spark, SF_SMOKE)
+    assert _rowset(stream) == _rowset(batch)
+
+
+def test_stream_dedup_removes_redelivery(spark, queries):
+    from census_postgres_py_spark.tables import t
+
+    n_events = t(spark, SF_SMOKE, "events").count()
+    deduped = queries["stream_dedup_state"](spark, SF_SMOKE)
+    # the source delivers the file TWICE; state must collapse it back
+    assert deduped.count() == n_events
+    assert deduped.select("event_id").distinct().count() == n_events
+
+
+def test_stream_foreachbatch_totals(spark, queries):
+    from pyspark.sql import functions as F
+
+    from census_postgres_py_spark.tables import t
+
+    got = {
+        (r["event_type"], r["n"])
+        for r in queries["stream_foreachbatch_jdbc"](spark, SF_SMOKE).collect()
+    }
+    want = {
+        (r["event_type"], r["n"])
+        for r in t(spark, SF_SMOKE, "events")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == want
