@@ -40,6 +40,7 @@ HEADLINE = [
     "dedup_embedding_cosine",
     "join_similarity_topk",
     "join_similarity_ann",
+    "join_similarity_ivf",
     "stream_session",
     "udf_grouped_map",
 ]
