@@ -17,3 +17,4 @@ from census_postgres_py_spark.operators import (  # noqa: F401
     windows,
 )
 from census_postgres_py_spark.streaming import jobs  # noqa: F401
+from census_postgres_py_spark import pipeline  # noqa: F401

@@ -11,7 +11,7 @@ from tests.conftest import SF_SMOKE
 SURVEY_IDS = {
     # §2.1 scans / sources / sinks
     "scan_parquet", "scan_csv_schema", "scan_fixed_width", "scan_jsonl",
-    "sink_parquet", "sink_jdbc", "schema_from_metadata",
+    "sink_parquet", "sink_jdbc", "schema_from_metadata", "pipeline_acs_e2e",
     # §2.2 transforms
     "project_rename", "filter_pred", "filter_in_set", "null_normalize",
     "cast_types", "surrogate_key", "case_when",
@@ -37,7 +37,16 @@ SURVEY_IDS = {
     "stream_watermark", "stream_dedup_state", "stream_foreachbatch_jdbc",
     # §2.9 UDF surface
     "udf_pandas_scalar", "udf_grouped_agg", "udf_grouped_map",
+    # §2.10 LLM-pipeline extensions
+    "dedup_ngram_jaccard", "dedup_simhash", "dedup_embedding_cosine",
+    "join_similarity_ann", "mm_decode_features", "mm_frame_sample",
+    "text_quality", "text_lang_id", "text_token_count", "text_fingerprint",
 }
+
+
+def test_registry_has_no_ids_outside_survey(queries):
+    drift = set(queries) - SURVEY_IDS
+    assert not drift, f"queries() ids missing from SURVEY §2: {drift}"
 
 
 def test_entry_smoke(spark):
