@@ -42,12 +42,20 @@ def _fake_decode(payload: bytes) -> dict:
     }
 
 
+_FEATURE_COLS = ["n_bytes", "checksum", "width", "height"]
+
+
 def _decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """mapInPandas kernel: Arrow batch in, feature batch out."""
+    """mapInPandas kernel: Arrow batch in, feature batch out.
+
+    Empty batches are skipped: ``pd.DataFrame([])`` has zero columns,
+    which would fail the declared output schema."""
     for pdf in batches:
+        if not len(pdf):
+            continue
         feats = [_fake_decode(p) for p in pdf["payload"]]
-        out = pd.DataFrame(feats)
-        out.insert(0, "doc_id", pdf["doc_id"].values)
+        out = pd.DataFrame(feats, columns=_FEATURE_COLS)
+        out.insert(0, "doc_id", pdf["doc_id"].to_numpy())
         yield out
 
 

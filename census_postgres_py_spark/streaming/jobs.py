@@ -109,13 +109,21 @@ def stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def stream_dedup_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stateful streaming dedup: the event file is delivered TWICE
-    (two micro-batches via maxFilesPerTrigger=1); dropDuplicates state
-    suppresses every second-pass row, so exactly the original events
-    come out. (Unbounded dedup state here — for 100 TB streams use
-    dropDuplicatesWithinWatermark so state is evicted at the
-    watermark.)"""
+    (two micro-batches via maxFilesPerTrigger=1);
+    `dropDuplicatesWithinWatermark` state suppresses every second-pass
+    row, so exactly the original events come out.
+
+    WithinWatermark is the 100 TB form: state for an event_id is
+    evicted once the watermark passes its event time + the delay, so
+    a 30-day stream holds hours of state, not the whole history —
+    plain `dropDuplicates` on a stream never evicts. The redelivery
+    here lands in the very next micro-batch, well inside the delay,
+    so the dedup is exact for this job while keeping the bounded-state
+    operator in the plan."""
     src_dir = _scratch(f"dedup_src_{os.path.basename(sf_dir)}")
-    ev = t(spark, sf_dir, "events").select("event_id", "event_type", "user_id")
+    ev = t(spark, sf_dir, "events").select(
+        "event_id", "event_type", "user_id", "ts"
+    )
     ev.coalesce(1).write.mode("overwrite").parquet(src_dir)
     ev.coalesce(1).write.mode("append").parquet(src_dir)
 
@@ -124,7 +132,9 @@ def stream_dedup_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", 1)
         .parquet(src_dir)
     )
-    deduped = stream.dropDuplicates(["event_id"])
+    deduped = stream.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
     return _run_to_memory(deduped, "append").select(
         "event_id", "event_type", "user_id"
     )
