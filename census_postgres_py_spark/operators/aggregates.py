@@ -302,3 +302,40 @@ def unpivot_long(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="measure",
         valueColumnName="val",
     )
+
+
+@register(
+    "agg_skew_salted",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           floor(sum(value) * 100 + 0.5) / 100 AS total_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def agg_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation for skewed keys.
+
+    `event_type` has only 5 distinct values over the whole table — on
+    a 1000-executor cluster a plain groupBy would funnel everything
+    into 5 reducer partitions. Phase 1 salts the key with
+    xxhash64(event_id) % 32 and pre-aggregates on (key, salt) — 160
+    evenly spread partial groups; phase 2 re-aggregates the partials
+    on the real key. The decomposition is exact for count/sum (and
+    any algebraic aggregate); Spark's own partial aggregation gives
+    map-side combining for free, but salting additionally spreads the
+    REDUCE side, which is the part AQE's skew handling doesn't fix
+    for aggregations.
+    """
+    ev = t(spark, sf_dir, "events")
+    salted = ev.withColumn(
+        "salt", F.pmod(F.xxhash64("event_id"), F.lit(32))
+    )
+    partial = salted.groupBy("event_type", "salt").agg(
+        F.count("*").alias("pn"), F.sum("value").alias("pv")
+    )
+    return partial.groupBy("event_type").agg(
+        F.sum("pn").cast("long").alias("n"),
+        (F.floor(F.sum("pv") * 100 + F.lit(0.5)) / 100).alias("total_value"),
+    )

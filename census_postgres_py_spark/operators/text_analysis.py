@@ -170,3 +170,59 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(norm.cast("binary")).alias("fp"),
         F.length(norm).cast("long").alias("norm_len"),
     )
+
+
+@register(
+    "text_tfidf",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+                   AS term
+        FROM documents
+    ), tf AS (
+        SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        FROM toks GROUP BY doc_id, term
+    ), dfreq AS (
+        SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term
+    ), n AS (
+        SELECT CAST(count(*) AS DOUBLE) AS nd FROM documents
+    ), scored AS (
+        SELECT tf.doc_id, tf.term, tf.tf,
+               tf.tf * ln(n.nd / dfreq.df) AS score,
+               row_number() OVER (
+                   PARTITION BY tf.doc_id
+                   ORDER BY tf.tf * ln(n.nd / dfreq.df) DESC, tf.term) AS rn
+        FROM tf JOIN dfreq USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term, tf, round(score, 4) AS tfidf, CAST(rn AS BIGINT) AS rn
+    FROM scored WHERE rn <= 5
+    """,
+)
+def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF: top-5 terms per document by tf * ln(N/df).
+
+    Three aggregations, all map-side-combinable: per-(doc,term) tf,
+    per-term document frequency, and the scalar corpus size (a 1-row
+    aggregate broadcast into the score join — no driver-side count).
+    The per-doc top-5 is a WindowGroupLimit. At 100 TB the df table is
+    vocabulary-sized (small) and broadcasts; everything else stays
+    partitioned by doc/term keys.
+    """
+    from pyspark.sql.window import Window
+
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(tokens("text")).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").cast("long").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    nd = docs.agg(F.count("*").cast("double").alias("nd"))
+    score = F.col("tf") * F.log(F.col("nd") / F.col("df"))
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("term"))
+    return (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(nd))
+        .withColumn("score", score)
+        .withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 5)
+        .select("doc_id", "term", "tf", F.round("score", 4).alias("tfidf"), "rn")
+    )

@@ -182,3 +182,69 @@ def stream_foreachbatch_jdbc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n").cast("long").alias("n"),
         F.round(F.sum("value_sum"), 2).alias("total_value"),
     )
+
+
+@register(
+    "stream_custom_state",
+    oracle="""
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           floor(sum(value) * 100 + 0.5) / 100 AS total_value
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def stream_custom_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator via `applyInPandasWithState`
+    (SURVEY.md §3.2: the escape hatch when built-in stateful ops can't
+    express the semantics — here a per-user accumulator carried across
+    micro-batches).
+
+    The event file is split over several micro-batches
+    (maxFilesPerTrigger=1); each user's state holds (n_events,
+    total_value) and is updated per batch, emitting the running
+    totals in update mode. The memory sink therefore holds one row
+    per (user, update); the final relation keeps each user's LAST
+    update — which must equal the plain batch groupBy. At scale the
+    state store is RocksDB-backed and keyed state is evicted by
+    timeout — here NoTimeout since the run is finite.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    src_dir = _scratch(f"custom_state_src_{os.path.basename(sf_dir)}")
+    ev = t(spark, sf_dir, "events").select("user_id", "value")
+    # several part files => several micro-batches => real state reuse
+    ev.repartition(4).write.mode("overwrite").parquet(src_dir)
+
+    def update(key, pdfs, state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value_raw": [total]}
+        )
+
+    stream = spark.readStream.schema(ev.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src_dir)
+    updates = stream.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id long, n_events long, total_value_raw double",
+        stateStructType="n long, total double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    sunk = _run_to_memory(updates, "update")
+    # last update per user == the full accumulation
+    final = sunk.groupBy("user_id").agg(
+        F.max("n_events").cast("long").alias("n_events"),
+        F.max_by("total_value_raw", "n_events").alias("tv"),
+    )
+    return final.select(
+        "user_id",
+        "n_events",
+        (F.floor(F.col("tv") * 100 + F.lit(0.5)) / 100).alias("total_value"),
+    )

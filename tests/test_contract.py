@@ -22,7 +22,7 @@ SURVEY_IDS = {
     # §2.4 aggregation
     "agg_hash", "agg_distinct", "agg_approx_distinct", "agg_percentile",
     "agg_rollup", "agg_cube", "agg_grouping_sets", "agg_collect",
-    "agg_filtered", "pivot_wide", "unpivot_long",
+    "agg_filtered", "pivot_wide", "unpivot_long", "agg_skew_salted",
     # §2.5 windows
     "win_rank", "win_topk_group", "win_lag_lead", "win_running",
     "win_range_frame",
@@ -35,12 +35,14 @@ SURVEY_IDS = {
     # §2.8 streaming
     "stream_tumbling", "stream_sliding", "stream_session",
     "stream_watermark", "stream_dedup_state", "stream_foreachbatch_jdbc",
+    "stream_custom_state",
     # §2.9 UDF surface
     "udf_pandas_scalar", "udf_grouped_agg", "udf_grouped_map",
     # §2.10 LLM-pipeline extensions
     "dedup_ngram_jaccard", "dedup_simhash", "dedup_embedding_cosine",
     "join_similarity_ann", "mm_decode_features", "mm_frame_sample",
     "text_quality", "text_lang_id", "text_token_count", "text_fingerprint",
+    "text_tfidf",
 }
 
 
