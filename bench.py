@@ -43,6 +43,9 @@ HEADLINE = [
     "join_similarity_ivf",
     "stream_session",
     "udf_grouped_map",
+    "text_tfidf",
+    "agg_skew_salted",
+    "pipeline_acs_e2e",
 ]
 
 

@@ -1,0 +1,77 @@
+"""Unit tests for the ACS-shaped source helpers — pure logic (schema
+generation, fixed-width layouts) plus the JDBC config construction the
+jdbc module's docstring promises (no Postgres in the harness, so the
+writer is built and its wiring proven, never executed)."""
+
+from __future__ import annotations
+
+import pytest
+
+from census_postgres_py_spark.sources.fixed_width import (
+    FixedWidthField,
+    format_fixed_width,
+    parse_fixed_width_lines,
+)
+from census_postgres_py_spark.sources.jdbc import JdbcTarget, writer_for
+from census_postgres_py_spark.sources.metadata_schema import (
+    schema_from_metadata,
+    sequence_table_schema,
+)
+
+
+def test_schema_from_metadata_orders_by_ordinal():
+    schema = schema_from_metadata(
+        [("b", "double", 2), ("a", "int", 1), ("c", "varchar", 3)]
+    )
+    assert [f.name for f in schema.fields] == ["a", "b", "c"]
+    assert [f.dataType.typeName() for f in schema.fields] == [
+        "integer", "double", "string",
+    ]
+
+
+def test_schema_from_metadata_rejects_unknown_type():
+    with pytest.raises(ValueError, match="unknown metadata type"):
+        schema_from_metadata([("x", "blob", 1)])
+
+
+def test_sequence_table_schema_shape():
+    schema = sequence_table_schema("b01001", 3)
+    names = [f.name for f in schema.fields]
+    assert names[:6] == [
+        "fileid", "filetype", "stusab", "chariter", "sequence", "logrecno",
+    ]
+    assert names[6:] == ["b01001001", "b01001002", "b01001003"]
+    assert all(f.dataType.typeName() == "double" for f in schema.fields[6:])
+
+
+def test_fixed_width_round_trip(spark):
+    layout = [
+        FixedWidthField("k", 1, 4, "int"),
+        FixedWidthField("name", 5, 10, "string"),
+        FixedWidthField("score", 15, 8, "double"),
+    ]
+    src = spark.createDataFrame(
+        [(1, "alpha", 2.5), (42, "beta", -1.25)], "k int, name string, score double"
+    )
+    lines = format_fixed_width(src, layout)
+    back = parse_fixed_width_lines(lines, layout)
+    assert {tuple(r) for r in back.collect()} == {
+        (1, "alpha", 2.5), (42, "beta", -1.25),
+    }
+
+
+def test_jdbc_writer_config_construction(spark):
+    df = spark.range(3)
+    target = JdbcTarget(
+        url="jdbc:postgresql://localhost:5432/census",
+        table="acs2014_5yr.b01001",
+        user="u",
+        password="p",
+        num_partitions=2,
+    )
+    writer = writer_for(df, target)
+    # the writer is fully built; executing it must fail on the MISSING
+    # DRIVER (proving url/format wiring reached the JDBC source), not
+    # on our own config assembly
+    with pytest.raises(Exception, match="(?i)driver|jdbc"):
+        writer.save()
