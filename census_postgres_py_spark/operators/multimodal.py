@@ -103,3 +103,68 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(frames).alias("frame_idx"),
         F.col("n_chars").cast("long").alias("n_frames"),
     )
+
+
+RESIZE_TARGET = (64, 64)  # thumbnail W x H a real resize would emit
+RESIZE_BYTE_CAP = 256  # stub: output payload = first N chars re-encoded
+
+
+def _resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel for the resize stage. The STUB 'resize'
+    truncates the decoded payload to RESIZE_BYTE_CAP characters and
+    fingerprints the result — a real build swaps the body for
+    `PIL.Image.resize` and emits re-encoded bytes. Deterministic, so
+    the oracle can reproduce the fingerprint from the source column."""
+    import hashlib
+
+    for pdf in batches:
+        if not len(pdf):
+            continue
+        out_rows = []
+        for payload in pdf["payload"]:
+            text = bytes(payload).decode("utf-8")
+            resized = text[:RESIZE_BYTE_CAP].encode("utf-8")
+            out_rows.append(
+                {
+                    "n_bytes_in": len(payload),
+                    "n_bytes_out": len(resized),
+                    "resized_md5": hashlib.md5(resized).hexdigest(),
+                    "out_w": RESIZE_TARGET[0],
+                    "out_h": RESIZE_TARGET[1],
+                }
+            )
+        out = pd.DataFrame(
+            out_rows,
+            columns=["n_bytes_in", "n_bytes_out", "resized_md5", "out_w", "out_h"],
+        )
+        out.insert(0, "doc_id", pdf["doc_id"].to_numpy())
+        yield out
+
+
+@register(
+    "mm_resize",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes_in,
+           CAST(octet_length(encode(substring(text, 1, {RESIZE_BYTE_CAP})))
+               AS BIGINT) AS n_bytes_out,
+           md5(substring(text, 1, {RESIZE_BYTE_CAP})) AS resized_md5,
+           CAST({RESIZE_TARGET[0]} AS BIGINT) AS out_w,
+           CAST({RESIZE_TARGET[1]} AS BIGINT) AS out_h
+    FROM documents
+    """,
+)
+def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary payload -> resized payload metadata via mapInPandas (the
+    resize stage of an image pipeline; decoder/encoder stubbed, the
+    Spark-side batch plumbing real — see module docstring)."""
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+    return docs.mapInPandas(
+        _resize_batches,
+        schema=(
+            "doc_id long, n_bytes_in long, n_bytes_out long, "
+            "resized_md5 string, out_w long, out_h long"
+        ),
+    )
