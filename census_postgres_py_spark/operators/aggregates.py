@@ -339,3 +339,29 @@ def agg_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("pn").cast("long").alias("n"),
         (F.floor(F.sum("pv") * 100 + F.lit(0.5)) / 100).alias("total_value"),
     )
+
+
+@register("agg_hll_mergeable")  # sketch estimate => rows-only check
+def agg_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HLL sketches — the pre-aggregation pattern that makes
+    distinct counts feasible at 100 TB: build one sketch per
+    (event_type, day) partial (what an ingest job would persist per
+    partition), then answer "distinct users per event_type" by
+    UNIONING the stored sketches — no rescan of the raw data, and the
+    merge is associative so it parallelizes like a sum.
+
+    `hll_union_agg(hll_sketch_agg(...))` must estimate within HLL
+    error of the exact count — tests pin the tolerance against
+    count(DISTINCT); the estimate itself is approximate, so no SQL
+    oracle (same policy as agg_approx_distinct).
+    """
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.hll_sketch_agg("user_id").alias("sketch")
+    )
+    return daily.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sketch"))
+        .cast("long")
+        .alias("approx_users"),
+        F.count("*").cast("long").alias("n_daily_sketches"),
+    )

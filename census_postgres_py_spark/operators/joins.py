@@ -306,3 +306,36 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_millis("ts").alias("ts_ms"),
         "prior_view_ms",
     )
+
+
+@register(
+    "join_copartitioned",
+    oracle="""
+    SELECT o_custkey,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(max(c_acctbal), 2) AS acctbal
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY o_custkey
+    """,
+)
+def join_copartitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-reuse co-located join: both sides are explicitly hash-
+    partitioned on their join key (one exchange each), and every
+    downstream key-aligned operator — the SortMergeJoin AND the
+    groupBy on the same key — reuses that partitioning with ZERO
+    additional exchanges (pinned by tests/test_plans.py).
+
+    This is the 100 TB "shuffle once, consume many" pattern: on a
+    real cluster the two repartitions are replaced by bucketed table
+    layouts written at ingest, and the join + any same-key
+    aggregation run shuffle-free. The merge hint pins SMJ so the
+    demonstration doesn't degrade to a broadcast (which would hide
+    the partitioning-reuse property this operator exists to show).
+    """
+    o = t(spark, sf_dir, "orders").repartition(32, "o_custkey")
+    c = t(spark, sf_dir, "customer").repartition(32, "c_custkey")
+    j = o.hint("merge").join(c, o.o_custkey == c.c_custkey)
+    return j.groupBy("o_custkey").agg(
+        F.count("*").cast("long").alias("n_orders"),
+        F.round(F.max("c_acctbal"), 2).alias("acctbal"),
+    )

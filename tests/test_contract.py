@@ -19,10 +19,12 @@ SURVEY_IDS = {
     "join_inner_hash", "join_broadcast", "join_multiway_star",
     "join_left_outer", "join_semi", "join_anti", "join_theta_range",
     "join_asof", "join_similarity_topk", "join_similarity_ivf",
+    "join_copartitioned",
     # §2.4 aggregation
     "agg_hash", "agg_distinct", "agg_approx_distinct", "agg_percentile",
     "agg_rollup", "agg_cube", "agg_grouping_sets", "agg_collect",
     "agg_filtered", "pivot_wide", "unpivot_long", "agg_skew_salted",
+    "agg_hll_mergeable",
     # §2.5 windows
     "win_rank", "win_topk_group", "win_lag_lead", "win_running",
     "win_range_frame",

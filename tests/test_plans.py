@@ -57,6 +57,17 @@ def test_no_all_pairs_join_in_candidate_paths(spark, queries, qid):
     assert "BroadcastNestedLoopJoin" not in plan, qid
 
 
+def test_copartitioned_join_reuses_shuffles(spark, queries):
+    """join_copartitioned's whole point: 2 repartition exchanges and
+    then join + same-key groupBy with no additional exchange."""
+    df = queries["join_copartitioned"](spark, SF_SMOKE)
+    df.collect()
+    final = _plan(df).split("== Initial Plan ==")[0]
+    assert final.count("Exchange hashpartitioning") == 2, final
+    assert "SortMergeJoin" in final
+    assert "BroadcastHashJoin" not in final
+
+
 def test_whole_stage_codegen_covers_agg(spark, queries):
     df = queries["agg_hash"](spark, SF_SMOKE)
     df.collect()  # AQE finalizes (and codegens) the plan on execution

@@ -54,6 +54,28 @@ def test_rollup_subtotals_sum_to_grand_total(spark, queries):
     assert abs(leaf_sum - grand) < 1e-2 * max(abs(grand), 1.0)
 
 
+def test_hll_mergeable_matches_exact_within_tolerance(spark, queries):
+    """Merging per-day HLL sketches must estimate per-type distinct
+    users within HLL error (default lgConfigK=12 => ~1.6% rsd; allow
+    5%) of the exact count."""
+    from census_postgres_py_spark.tables import t
+
+    approx = {
+        r["event_type"]: r["approx_users"]
+        for r in queries["agg_hll_mergeable"](spark, SF_SMOKE).collect()
+    }
+    exact = {
+        r["event_type"]: r["n"]
+        for r in t(spark, SF_SMOKE, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for et, n in exact.items():
+        assert abs(approx[et] - n) <= max(0.05 * n, 2), (et, approx[et], n)
+
+
 def test_sort_limit_is_global_topk(spark, queries):
     from census_postgres_py_spark.tables import t
 
