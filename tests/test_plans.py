@@ -57,6 +57,22 @@ def test_no_all_pairs_join_in_candidate_paths(spark, queries, qid):
     assert "BroadcastNestedLoopJoin" not in plan, qid
 
 
+def test_partition_pruning_on_partitioned_sink(spark, queries):
+    """A year-filtered read of the partitioned sink must prune at the
+    partition level (PartitionFilters), not scan-and-filter."""
+    import os
+    import tempfile
+
+    queries["sink_parquet"](spark, SF_SMOKE).collect()  # materialize sink
+    path = os.path.join(tempfile.gettempdir(), "cppys_scratch", "orders_by_year")
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(path).filter(F.col("o_year") == 1995)
+    plan = _plan(df)
+    pf = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+    assert "o_year" in pf, plan
+
+
 def test_copartitioned_join_reuses_shuffles(spark, queries):
     """join_copartitioned's whole point: 2 repartition exchanges and
     then join + same-key groupBy with no additional exchange."""
