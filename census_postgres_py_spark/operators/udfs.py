@@ -110,3 +110,57 @@ def udf_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("user_id").applyInPandas(
         _zscore, schema="event_id long, user_id long, z double"
     )
+
+
+def _join_stats(docs_pdf: pd.DataFrame, emb_pdf: pd.DataFrame) -> pd.DataFrame:
+    """Cogrouped kernel: both sides of one key arrive as full pandas
+    frames; emit the doc's char count joined with its embedding's L2
+    norm (empty side => no output row, i.e. inner-join semantics)."""
+    if not len(docs_pdf) or not len(emb_pdf):
+        return pd.DataFrame(
+            {"doc_id": [], "n_chars": [], "emb_norm": []}
+        ).astype({"doc_id": "int64", "n_chars": "int64", "emb_norm": "float64"})
+    import numpy as np
+
+    vec = np.asarray(emb_pdf["embedding"].iloc[0], dtype=np.float64)
+    return pd.DataFrame(
+        {
+            "doc_id": docs_pdf["doc_id"].iloc[:1],
+            "n_chars": docs_pdf["n_chars"].iloc[:1].astype("int64"),
+            "emb_norm": [round(float(np.sqrt((vec * vec).sum())), 4)],
+        }
+    )
+
+
+@register(
+    "udf_cogrouped_map",
+    oracle="""
+    SELECT d.doc_id,
+           CAST(d.n_chars AS BIGINT) AS n_chars,
+           round(sqrt(list_aggregate(
+               list_transform(CAST(e.embedding AS DOUBLE[]), x -> x * x),
+               'sum')), 4) AS emb_norm
+    FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+    """,
+)
+def udf_cogrouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cogrouped applyInPandas (the 4th Pandas-UDF surface after
+    scalar / grouped-agg / grouped-map): documents and embeddings
+    share the 0..499 key space, so each key's rows from BOTH tables
+    arrive together in one kernel call — the pattern for per-entity
+    multi-source feature assembly when the combine logic needs real
+    Python (here it's a norm, so the oracle is plain SQL).
+
+    Scale shape: one shuffle per side on the cogroup key — identical
+    to a shuffle join — then Arrow-batched kernels per key group.
+    """
+    docs = t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return (
+        docs.groupBy("doc_id")
+        .cogroup(emb.groupBy("vec_id"))
+        .applyInPandas(
+            lambda d, e: _join_stats(d, e),
+            schema="doc_id long, n_chars long, emb_norm double",
+        )
+    )

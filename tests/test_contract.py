@@ -40,6 +40,7 @@ SURVEY_IDS = {
     "stream_custom_state",
     # §2.9 UDF surface
     "udf_pandas_scalar", "udf_grouped_agg", "udf_grouped_map",
+    "udf_cogrouped_map",
     # §2.10 LLM-pipeline extensions
     "dedup_ngram_jaccard", "dedup_simhash", "dedup_embedding_cosine",
     "join_similarity_ann", "mm_decode_features", "mm_frame_sample",

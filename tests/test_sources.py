@@ -75,3 +75,48 @@ def test_jdbc_writer_config_construction(spark):
     # on our own config assembly
     with pytest.raises(Exception, match="(?i)driver|jdbc"):
         writer.save()
+
+
+# --- property-based (hypothesis; SURVEY.md §5.2 item 4) ---
+
+from hypothesis import given, settings, strategies as st
+
+_name = st.from_regex(r"[a-z][a-z0-9_]{0,10}", fullmatch=True)
+_type = st.sampled_from(["int", "bigint", "double", "string", "varchar"])
+
+
+@given(
+    rows=st.lists(
+        st.tuples(_name, _type, st.integers(0, 1000)),
+        min_size=1,
+        max_size=20,
+        unique_by=(lambda r: r[0], lambda r: r[2]),
+    )
+)
+@settings(max_examples=50, deadline=None)
+def test_schema_from_metadata_ordinal_property(rows):
+    schema = schema_from_metadata(rows)
+    want = [name for name, _t, _p in sorted(rows, key=lambda r: r[2])]
+    assert [f.name for f in schema.fields] == want
+
+
+@given(
+    vals=st.lists(
+        st.tuples(
+            st.integers(0, 9999),
+            st.from_regex(r"[a-zA-Z0-9]{1,10}", fullmatch=True),
+        ),
+        min_size=1,
+        max_size=8,
+        unique_by=lambda v: v[0],
+    )
+)
+@settings(max_examples=10, deadline=None)
+def test_fixed_width_round_trip_property(spark, vals):
+    layout = [
+        FixedWidthField("k", 1, 6, "int"),
+        FixedWidthField("name", 7, 12, "string"),
+    ]
+    src = spark.createDataFrame(vals, "k int, name string")
+    back = parse_fixed_width_lines(format_fixed_width(src, layout), layout)
+    assert {tuple(r) for r in back.collect()} == set(vals)
