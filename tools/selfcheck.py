@@ -84,15 +84,26 @@ def _values_equal(a: pd.DataFrame, b: pd.DataFrame) -> tuple[bool, bool, str]:
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    ap.add_argument(
+        "--vanilla",
+        action="store_true",
+        help="use a bare SparkSession like the driver does (no tuned "
+        "confs) instead of session.get_spark()",
+    )
     ap.add_argument("ids", nargs="*")
     args = ap.parse_args()
 
     sys.path.insert(0, ".")
     import __spark_entry__ as entrymod
 
-    from census_postgres_py_spark.session import get_spark
+    if args.vanilla:
+        from pyspark.sql import SparkSession
 
-    spark = get_spark()
+        spark = SparkSession.builder.master("local[8]").getOrCreate()
+    else:
+        from census_postgres_py_spark.session import get_spark
+
+        spark = get_spark()
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     ids = args.ids or sorted(qs)
