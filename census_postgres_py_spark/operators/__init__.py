@@ -6,6 +6,7 @@ from census_postgres_py_spark.operators import (  # noqa: F401
     dedup,
     joins,
     multimodal,
+    sampling,
     scalar_fns,
     scans,
     setops,

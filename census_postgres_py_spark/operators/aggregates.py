@@ -365,3 +365,124 @@ def agg_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("approx_users"),
         F.count("*").cast("long").alias("n_daily_sketches"),
     )
+
+
+@register(
+    "agg_stats_exact",
+    oracle="""
+    WITH s AS (
+        SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS sy,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))
+                        * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                   AS sxx,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS syy,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))
+                        * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS sxy
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           sx / n AS mean_qty,
+           (sxx - sx * sx / n) / (n - 1) AS var_qty,
+           (n * sxy - sx * sy)
+               / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+               AS corr_qty_price
+    FROM s
+    """,
+)
+def agg_stats_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed second moments (mean / variance / correlation) with
+    *deterministic* results.
+
+    Built-in ``var_samp``/``corr`` accumulate doubles, so the answer
+    depends on partition merge order — two runs of the same job on a
+    real cluster can hash-differ, which poisons cached derived tables
+    and oracle checks alike. Instead we accumulate the five sufficient
+    statistics as exact DECIMAL sums (associative, order-independent,
+    map-side combinable — one narrow shuffle of 6 numbers per group)
+    and evaluate the closed-form moments on the driver-side scalars.
+    DECIMAL(38,4) holds sum(x*x) up to ~1e34, so the accumulators
+    cannot overflow even at 100 TB row counts.
+    """
+    x = F.col("l_quantity").cast("decimal(18,2)")
+    y = F.col("l_extendedprice").cast("decimal(18,2)")
+    s = (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(x).cast("double").alias("sx"),
+            F.sum(y).cast("double").alias("sy"),
+            F.sum(x * x).cast("double").alias("sxx"),
+            F.sum(y * y).cast("double").alias("syy"),
+            F.sum(x * y).cast("double").alias("sxy"),
+        )
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    return s.select(
+        "l_returnflag",
+        "n",
+        (sx / n).alias("mean_qty"),
+        ((sxx - sx * sx / n) / (n - 1)).alias("var_qty"),
+        (
+            (n * sxy - sx * sy)
+            / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+        ).alias("corr_qty_price"),
+    )
+
+
+@register(
+    "agg_mode",
+    oracle="""
+    WITH c AS (
+        SELECT CAST(year(o_orderdate) AS BIGINT) AS order_year,
+               o_orderpriority, CAST(count(*) AS BIGINT) AS cnt
+        FROM orders GROUP BY order_year, o_orderpriority
+    ), r AS (
+        SELECT order_year, o_orderpriority, cnt,
+               row_number() OVER (PARTITION BY order_year
+                                  ORDER BY cnt DESC, o_orderpriority) AS rn
+        FROM c
+    )
+    SELECT order_year, o_orderpriority AS mode_priority, cnt
+    FROM r WHERE rn = 1
+    """,
+)
+def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mode (most frequent value) per group.
+
+    Built-in ``mode()`` breaks ties arbitrarily in both engines, so it
+    can never hash-match; count + row_number with a total tiebreak
+    (count DESC, value ASC) is the reproducible form. Two shuffles:
+    the count agg (map-side combined) and a tiny per-group window over
+    |distinct values| rows — the window input is already reduced, so
+    at 100 TB the expensive part stays the combinable count.
+    """
+    from pyspark.sql.window import Window
+
+    c = (
+        t(spark, sf_dir, "orders")
+        .groupBy(
+            F.year("o_orderdate").cast("long").alias("order_year"),
+            "o_orderpriority",
+        )
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    w = Window.partitionBy("order_year").orderBy(
+        F.col("cnt").desc(), F.col("o_orderpriority")
+    )
+    return (
+        c.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "order_year",
+            F.col("o_orderpriority").alias("mode_priority"),
+            "cnt",
+        )
+    )

@@ -1,0 +1,52 @@
+"""Deterministic sampling operators (training-pipeline extension;
+BASELINE.json:6 scale mandate).
+
+Random sampling (``df.sample``) is nondeterministic across retries and
+partition layouts, which breaks both oracle comparison and exactly-once
+pipeline re-runs. The scale-correct idiom is *hash sampling*: keep a row
+iff a stable hash of its key lands under the stratum's rate threshold.
+The sample is then a pure filter — no shuffle, fully pushdown-friendly,
+reproducible on any cluster layout, and consistent across incremental
+re-runs (the same key always makes the same in/out decision, which is
+what a 100 TB training-data refresh needs).
+
+The hash is ``md5`` of the decimal-rendered key and the threshold is a
+hex-prefix compare, because md5 is bit-identical in every engine (the
+DuckDB oracle runs the very same expression). Two hex chars give
+1/256-granular rates; use more chars for finer strata.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from census_postgres_py_spark.registry import register
+from census_postgres_py_spark.tables import t
+
+
+@register(
+    "sample_hash_stratified",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority
+    FROM orders
+    WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 2)
+          < CASE WHEN o_orderpriority = '1-URGENT' THEN '80' ELSE '1a' END
+    """,
+)
+def sample_hash_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified deterministic sample of ``orders``: ~50% of URGENT
+    orders ('80'/256), ~10% of everything else ('1a'/256).
+
+    Plan shape: a single codegen'd filter over the scan — no shuffle,
+    no RNG state. At 100 TB the per-stratum rates can come from a
+    broadcast dimension instead of the inline CASE.
+    """
+    orders = t(spark, sf_dir, "orders")
+    threshold = F.when(
+        F.col("o_orderpriority") == "1-URGENT", F.lit("80")
+    ).otherwise(F.lit("1a"))
+    bucket = F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 2)
+    return orders.filter(bucket < threshold).select(
+        "o_orderkey", "o_orderpriority"
+    )

@@ -203,3 +203,27 @@ def fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", F.explode(F.col("type_counts")).alias("event_type", "cnt")
     )
     return exploded.select("user_id", "event_type", F.col("cnt").cast("long").alias("cnt"))
+
+
+@register(
+    "fn_hash",
+    oracle="""
+    SELECT c_custkey,
+           md5(c_name) AS h_md5,
+           sha256(c_name) AS h_sha256
+    FROM customer
+    """,
+)
+def fn_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cryptographic hash family — the stable-key workhorses of a
+    training pipeline (content addressing, dedup keys, split
+    assignment). md5/sha256 are engine-independent bit-for-bit (unlike
+    xxhash64/murmur3, whose seeds differ per engine), which is why the
+    deterministic-sampling and fingerprint operators build on them.
+    Pure codegen'd projection — scan-bound, no shuffle.
+    """
+    return t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.md5(F.col("c_name").cast("binary")).alias("h_md5"),
+        F.sha2(F.col("c_name").cast("binary"), 256).alias("h_sha256"),
+    )

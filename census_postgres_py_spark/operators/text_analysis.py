@@ -226,3 +226,94 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 5)
         .select("doc_id", "term", "tf", F.round("score", 4).alias("tfidf"), "rn")
     )
+
+
+@register(
+    "text_chunk_fixed",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '')
+                   AS toks
+        FROM documents
+    ), s AS (
+        SELECT doc_id, toks, len(toks) AS n FROM d WHERE len(toks) > 0
+    ), e AS (
+        SELECT doc_id, toks, n,
+               unnest(range(0, CAST(ceil(n / 32.0) AS BIGINT))) AS i
+        FROM s
+    )
+    SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
+           array_to_string(toks[i*32+1 : i*32+32], ' ') AS chunk_text,
+           CAST(least(32, n - i*32) AS BIGINT) AS chunk_tokens
+    FROM e
+    """,
+)
+def text_chunk_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size token chunking — split each document into 32-token
+    windows (the context-window packing step of a training pipeline).
+
+    Pure codegen row expansion: tokenize once, ``sequence`` + ``explode``
+    one row per chunk, ``slice`` out the window. No shuffle at all —
+    chunking is embarrassingly parallel and the output partitioning
+    inherits the input's, so at 100 TB this is scan-bound. The guard on
+    empty docs matters: Spark's ``sequence(0, -1)`` DESCENDS instead of
+    returning empty.
+    """
+    docs = t(spark, sf_dir, "documents")
+    toked = docs.select(
+        "doc_id", tokens("text").alias("toks")
+    ).withColumn("n", F.size("toks"))
+    CHUNK = 32
+    exploded = toked.filter(F.col("n") > 0).select(
+        "doc_id",
+        "toks",
+        "n",
+        F.explode(
+            F.sequence(F.lit(0), ((F.col("n") - 1) / CHUNK).cast("long"))
+        ).alias("i"),
+    )
+    return exploded.select(
+        "doc_id",
+        F.col("i").cast("long").alias("chunk_id"),
+        F.concat_ws(
+            " ", F.slice("toks", F.col("i").cast("int") * CHUNK + 1, CHUNK)
+        ).alias("chunk_text"),
+        F.least(F.lit(CHUNK), F.col("n") - F.col("i") * CHUNK)
+        .cast("long")
+        .alias("chunk_tokens"),
+    )
+
+
+EMAIL_REGEX = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-z]{2,}"
+
+
+@register(
+    "text_pii_redact",
+    oracle=f"""
+    SELECT event_id,
+           regexp_replace(
+               regexp_replace(props, '{EMAIL_REGEX}', '<EMAIL>', 'g'),
+               '[0-9]+', '<NUM>', 'g') AS redacted
+    FROM events
+    """,
+)
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing — regex redaction of emails and digit runs over
+    the raw event payload (the compliance pass every training-data
+    pipeline runs before anything else sees the text).
+
+    Spark ``regexp_replace`` is replace-all by default; DuckDB needs
+    the explicit ``'g'`` flag — the patterns themselves are in the
+    RE2/Java-regex common subset so both engines transform
+    identically. Pure projection, scan-bound, chainable in the same
+    stage as decode/filter steps.
+    """
+    ev = t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.regexp_replace(
+            F.regexp_replace(F.col("props"), EMAIL_REGEX, "<EMAIL>"),
+            r"[0-9]+",
+            "<NUM>",
+        ).alias("redacted"),
+    )

@@ -162,3 +162,40 @@ def win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
             "trailing_avg_7d"
         ),
     )
+
+
+@register(
+    "win_ntile_distribution",
+    oracle="""
+    SELECT c_custkey, c_nationkey, c_acctbal,
+           CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist() OVER w AS cume
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey
+                 ORDER BY c_acctbal, c_custkey)
+    """,
+)
+def win_ntile_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution windows — ntile / percent_rank / cume_dist — per
+    nation partition.
+
+    ``percent_rank`` and ``cume_dist`` are exact rank ratios, so with a
+    total in-partition order (acctbal, custkey tiebreak) the doubles
+    are bit-identical across engines — no rounding idiom needed.
+    Partitioned windows parallelize per key at any scale; a *global*
+    ORDER BY window would serialize onto one task, which is exactly
+    what this shape avoids at 100 TB (use range-partitioned sort +
+    per-partition offsets if a global quantile id is truly required).
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    return t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        "c_acctbal",
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )

@@ -47,6 +47,10 @@ SURVEY_IDS = {
     "mm_resize",
     "text_quality", "text_lang_id", "text_token_count", "text_fingerprint",
     "text_tfidf",
+    # §2.11 deterministic-pipeline operators
+    "sample_hash_stratified", "agg_stats_exact", "agg_mode",
+    "win_ntile_distribution", "fn_hash", "text_chunk_fixed",
+    "text_pii_redact",
 }
 
 
