@@ -50,3 +50,36 @@ def sample_hash_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return orders.filter(bucket < threshold).select(
         "o_orderkey", "o_orderpriority"
     )
+
+
+@register(
+    "sample_split_assign",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '0d'
+                    THEN 'test'
+                WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a'
+                    THEN 'val'
+                ELSE 'train' END AS split
+    FROM documents
+    """,
+)
+def sample_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment (~5% / ~5% / ~90% via
+    md5 hex-prefix bands 00-0c / 0d-19 / 1a-ff).
+
+    The split is a pure function of the document id — stable across
+    runs, machines, and engine versions, so no document ever migrates
+    between train and eval when the corpus is regenerated (the leakage
+    failure mode of random splits at 100 TB). Codegen'd projection,
+    no shuffle.
+    """
+    docs = t(spark, sf_dir, "documents")
+    b = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    return docs.select(
+        "doc_id",
+        F.when(b < "0d", F.lit("test"))
+        .when(b < "1a", F.lit("val"))
+        .otherwise(F.lit("train"))
+        .alias("split"),
+    )

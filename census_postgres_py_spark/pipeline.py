@@ -195,3 +195,106 @@ def pipeline_acs_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(sink).select(
         "geoid", "name", "stusab", *cells, *[f"{c}_m" for c in cells]
     )
+
+
+@register(
+    "pipeline_training_e2e",
+    oracle="""
+    WITH base AS (
+        SELECT doc_id,
+               list_filter(
+                   string_split(
+                       regexp_replace(text, '[0-9]+', '<NUM>', 'g'), ' '),
+                   x -> x <> '') AS toks
+        FROM documents WHERE lang = 'en'
+    ), feat AS (
+        SELECT doc_id, toks, len(toks) AS n,
+               array_to_string(toks, ' ') AS norm
+        FROM base
+    ), qual AS (
+        SELECT * FROM feat WHERE n BETWEEN 10 AND 10000
+    ), keep AS (
+        SELECT min(doc_id) AS doc_id FROM qual GROUP BY md5(norm)
+    ), kept AS (
+        SELECT q.doc_id, q.n FROM qual q JOIN keep k ON q.doc_id = k.doc_id
+    ), chunks AS (
+        SELECT doc_id, n,
+               unnest(range(0, CAST(ceil(n / 32.0) AS BIGINT))) AS i
+        FROM kept
+    ), c2 AS (
+        SELECT doc_id, least(32, n - i * 32) AS chunk_tokens,
+               substr(md5(CAST(doc_id AS VARCHAR) || ':'
+                          || CAST(i AS VARCHAR)), 1, 1) AS shard
+        FROM chunks
+    )
+    SELECT shard, CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(sum(chunk_tokens) AS BIGINT) AS n_tokens,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+    FROM c2 GROUP BY shard
+    """,
+)
+def pipeline_training_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed LLM training-data pipeline — every §2.10/§2.11
+    stage chained into one dataflow, ending in per-shard packing
+    statistics:
+
+        scan documents -> PII redact (digit runs)      text_pii_redact
+        -> language filter (lang = 'en')               text_lang_id gate
+        -> quality filter (10 <= tokens <= 10000)      text_quality gate
+        -> exact dedup on content fingerprint          fn_hash + dedup_exact
+        -> 32-token chunking                           text_chunk_fixed
+        -> deterministic shard assignment (md5 nibble) sample_hash family
+        -> per-shard packing stats                     agg_hash
+
+    One narrow plan: scan -> codegen'd projections/filters -> one
+    combinable groupBy for the fingerprint dedup -> self-join on the
+    kept ids -> shuffle-free chunk explosion -> one final 16-group agg.
+    At 100 TB every stage before the dedup groupBy is scan-bound and
+    pipelined inside a single stage; the dedup shuffle keys on the
+    md5 fingerprint, which is uniformly distributed — no skew by
+    construction. Shards come from a hash nibble so output files are
+    balanced regardless of document-length skew.
+    """
+    docs = t(spark, sf_dir, "documents").filter(F.col("lang") == "en")
+    toks = F.filter(
+        F.split(F.regexp_replace("text", r"[0-9]+", "<NUM>"), " "),
+        lambda x: x != "",
+    )
+    feat = docs.select(
+        "doc_id",
+        toks.alias("toks"),
+        F.size(toks).alias("n"),
+        F.concat_ws(" ", toks).alias("norm"),
+    )
+    qual = feat.filter(F.col("n").between(10, 10000))
+    keep = (
+        qual.groupBy(F.md5(F.col("norm").cast("binary")).alias("fp"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    kept = qual.join(keep, "doc_id").select("doc_id", "n")
+    chunks = kept.select(
+        "doc_id",
+        "n",
+        F.explode(
+            F.sequence(F.lit(0), ((F.col("n") - 1) / 32).cast("long"))
+        ).alias("i"),
+    )
+    c2 = chunks.select(
+        "doc_id",
+        F.least(F.lit(32), F.col("n") - F.col("i") * 32).alias(
+            "chunk_tokens"
+        ),
+        F.substring(
+            F.md5(
+                F.concat_ws(":", F.col("doc_id"), F.col("i")).cast("binary")
+            ),
+            1,
+            1,
+        ).alias("shard"),
+    )
+    return c2.groupBy("shard").agg(
+        F.count("*").cast("long").alias("n_chunks"),
+        F.sum("chunk_tokens").cast("long").alias("n_tokens"),
+        F.count_distinct(F.col("doc_id")).cast("long").alias("n_docs"),
+    )

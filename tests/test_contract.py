@@ -50,7 +50,7 @@ SURVEY_IDS = {
     # §2.11 deterministic-pipeline operators
     "sample_hash_stratified", "agg_stats_exact", "agg_mode",
     "win_ntile_distribution", "fn_hash", "text_chunk_fixed",
-    "text_pii_redact",
+    "text_pii_redact", "sample_split_assign", "pipeline_training_e2e",
 }
 
 

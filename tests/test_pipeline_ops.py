@@ -184,3 +184,46 @@ def test_win_ntile_quartiles_are_balanced(spark, queries):
     )
     # ntile balances to within one row per partition by definition
     assert per.filter(F.col("spread") > 1).count() == 0
+
+
+def test_split_assign_partitions_every_doc_once(spark, queries):
+    from census_postgres_py_spark.tables import t
+
+    split = queries["sample_split_assign"](spark, SF_SMOKE)
+    n_docs = t(spark, SF_SMOKE, "documents").count()
+    assert split.count() == n_docs
+    assert split.select("doc_id").distinct().count() == n_docs
+    frac = {
+        r["split"]: r["count"] / n_docs
+        for r in split.groupBy("split").count().collect()
+    }
+    assert 0.8 < frac.get("train", 0) <= 1.0
+    assert frac.get("test", 0) < 0.15 and frac.get("val", 0) < 0.15
+
+
+def test_training_pipeline_token_conservation(spark, queries):
+    """Shard-packed token totals must equal the token counts of the
+    kept (english, quality-pass, deduped) documents — nothing lost or
+    double-counted across the chunk/pack stages."""
+    from census_postgres_py_spark.tables import t
+
+    shards = queries["pipeline_training_e2e"](spark, SF_SMOKE)
+    packed = shards.agg(
+        F.sum("n_tokens").alias("tok"), F.sum("n_chunks").alias("ck")
+    ).first()
+    docs = (
+        t(spark, SF_SMOKE, "documents")
+        .filter(F.col("lang") == "en")
+        .select(
+            "doc_id",
+            F.size(
+                F.filter(F.split("text", " "), lambda x: x != "")
+            ).alias("n"),
+        )
+        .filter(F.col("n").between(10, 10000))
+    )
+    expect = docs.agg(F.sum("n")).first()[0]
+    # fixture has no exact dups among quality-pass english docs, so
+    # dedup drops nothing and totals must match exactly
+    assert packed["tok"] == expect
+    assert shards.count() <= 16
