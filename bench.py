@@ -46,6 +46,8 @@ HEADLINE = [
     "text_tfidf",
     "agg_skew_salted",
     "pipeline_acs_e2e",
+    "text_chunk_fixed",
+    "pipeline_training_e2e",
 ]
 
 

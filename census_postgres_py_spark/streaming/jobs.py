@@ -248,3 +248,51 @@ def stream_custom_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         (F.floor(F.col("tv") * 100 + F.lit(0.5)) / 100).alias("total_value"),
     )
+
+
+@register(
+    "stream_static_join",
+    oracle="""
+    SELECT n.n_name, CAST(count(*) AS BIGINT) AS n,
+           floor(sum(e.value) * 100 + 0.5) / 100 AS total_value
+    FROM events e
+    JOIN customer c ON e.user_id = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join — the canonical streaming-ETL
+    shape: a micro-batched event stream joined per-batch against a
+    broadcast dimension (customer ⋈ nation resolved once, batch-side),
+    then aggregated.
+
+    The static side is dimension-sized, so Spark plans a broadcast
+    hash join inside every micro-batch — no stream-side shuffle for
+    the join, and the only stateful operator is the final aggregation.
+    That is exactly the 100 TB/day deployment shape: Kafka source,
+    broadcast dim refreshed per batch, upsert sink. Batch==stream
+    equivalence makes this fully SQL-oracle-checkable.
+    """
+    from pyspark.sql.functions import broadcast
+
+    dim = (
+        t(spark, sf_dir, "customer")
+        .join(
+            t(spark, sf_dir, "nation"),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select(F.col("c_custkey").alias("user_id"), "n_name")
+    )
+    ev = _events_stream(spark, sf_dir)
+    agg = (
+        ev.join(broadcast(dim), "user_id")
+        .groupBy("n_name")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            (F.floor(F.sum("value") * 100 + F.lit(0.5)) / 100).alias(
+                "total_value"
+            ),
+        )
+    )
+    return _run_to_memory(agg, "complete")

@@ -49,3 +49,31 @@ def test_stream_foreachbatch_totals(spark, queries):
         .collect()
     }
     assert got == want
+
+
+def test_stream_static_join_matches_batch(spark, queries):
+    from pyspark.sql import functions as F
+
+    from census_postgres_py_spark.tables import t
+
+    stream = queries["stream_static_join"](spark, SF_SMOKE)
+    dim = (
+        t(spark, SF_SMOKE, "customer")
+        .join(
+            t(spark, SF_SMOKE, "nation"),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select(F.col("c_custkey").alias("user_id"), "n_name")
+    )
+    batch = (
+        t(spark, SF_SMOKE, "events")
+        .join(dim, "user_id")
+        .groupBy("n_name")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            (F.floor(F.sum("value") * 100 + F.lit(0.5)) / 100).alias(
+                "total_value"
+            ),
+        )
+    )
+    assert _rowset(stream) == _rowset(batch)
