@@ -90,3 +90,34 @@ def test_whole_stage_codegen_covers_agg(spark, queries):
     plan = _plan(df)
     # "*(n)" prefixes are WholeStageCodegen stages in plan toString
     assert "*(" in plan, plan
+
+
+def test_sample_filter_is_shuffle_free(spark, queries):
+    """Hash sampling must be a pure filter over the scan — a shuffle
+    (or RNG-based sample node) would break its determinism story."""
+    plan = _plan(queries["sample_hash_stratified"](spark, SF_SMOKE))
+    assert "Exchange" not in plan
+    assert "Sample" not in plan  # no RNG sample operator
+
+
+def test_chunking_is_shuffle_free(spark, queries):
+    plan = _plan(queries["text_chunk_fixed"](spark, SF_SMOKE))
+    assert "Exchange" not in plan
+    assert "Generate" in plan  # sequence+explode row expansion
+
+
+def test_stats_exact_is_one_combinable_shuffle(spark, queries):
+    """Sufficient-statistic moments: exactly one Exchange (the group
+    shuffle), with a partial_ aggregate before it (map-side combine of
+    the decimal sums)."""
+    plan = _plan(queries["agg_stats_exact"](spark, SF_SMOKE))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "partial_sum" in plan
+
+
+def test_training_pipeline_shuffle_budget(spark, queries):
+    """The composed pipeline earns at most 3 hash shuffles: fingerprint
+    dedup groupBy, the kept-ids join, and the final shard agg. More
+    would mean a stage lost its pipelining."""
+    plan = _plan(queries["pipeline_training_e2e"](spark, SF_SMOKE))
+    assert plan.count("Exchange hashpartitioning") <= 3, plan
