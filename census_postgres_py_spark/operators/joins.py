@@ -339,3 +339,54 @@ def join_copartitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_orders"),
         F.round(F.max("c_acctbal"), 2).alias("acctbal"),
     )
+
+
+@register(
+    "join_skew_salted",
+    oracle="""
+    SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+           floor(sum(o_totalprice) * 100 + 0.5) / 100 AS total
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted shuffle join — the manual fix for hot keys that AQE's
+    skew splitting can't always save (it splits partitions, not a
+    single giant key).
+
+    The fact side gets a salt in [0, 16) hashed from its own row id;
+    the dimension side is exploded 16x so every (key, salt) pair
+    exists. The join key becomes (custkey, salt), spreading one hot
+    customer over 16 reducers; result is provably identical to the
+    unsalted join (the oracle IS the unsalted join). Cost: 16x the
+    dim shuffle volume — cheap when dim << fact, which is the only
+    time you salt. Salt count would be tuned to (hot-key rows /
+    target-partition rows) at 100 TB.
+    """
+    n_salt = 16
+    orders = t(spark, sf_dir, "orders").withColumn(
+        "salt", F.pmod(F.xxhash64("o_orderkey"), F.lit(n_salt))
+    )
+    cust = (
+        t(spark, sf_dir, "customer")
+        .select("c_custkey", "c_mktsegment")
+        .withColumn(
+            "salt",
+            F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)).cast("array<long>")),
+        )
+    )
+    # hint a shuffle-hash join: if Catalyst broadcast the dim there
+    # would be no reduce-side skew to fix and the salt would be dead
+    # weight (a plan test pins this)
+    joined = orders.join(
+        cust.hint("shuffle_hash"),
+        (F.col("o_custkey") == F.col("c_custkey"))
+        & (orders["salt"] == cust["salt"]),
+    )
+    return joined.groupBy("c_mktsegment").agg(
+        F.count("*").cast("long").alias("n"),
+        (F.floor(F.sum("o_totalprice") * 100 + F.lit(0.5)) / 100).alias(
+            "total"
+        ),
+    )

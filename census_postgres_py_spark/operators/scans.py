@@ -238,3 +238,57 @@ def sink_jdbc(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(target.table, "overwrite", target.num_partitions, n, executed)],
         out_schema,
     )
+
+
+@register(
+    "sink_merge_upsert",
+    oracle="""
+    WITH updates AS (
+        SELECT o_orderkey, o_orderpriority,
+               o_totalprice + 100.0 AS o_totalprice
+        FROM orders WHERE o_orderkey % 10 = 0
+    ), merged AS (
+        SELECT o.o_orderkey, o.o_orderpriority, o.o_totalprice
+        FROM orders o
+        WHERE NOT EXISTS (SELECT 1 FROM updates u
+                          WHERE u.o_orderkey = o.o_orderkey)
+        UNION ALL
+        SELECT o_orderkey, o_orderpriority, o_totalprice FROM updates
+    )
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+           floor(sum(o_totalprice) * 100 + 0.5) / 100 AS total
+    FROM merged GROUP BY o_orderpriority
+    """,
+)
+def sink_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE/upsert sink — the incremental-refresh pattern (SCD type 1)
+    on a plain parquet table, since no transactional table format ships
+    in this environment.
+
+    merged = target ANTI-JOIN updates  ∪  updates: one shuffled anti
+    join (or broadcast, when the delta batch is small — the usual case)
+    plus a write. The merged table is actually WRITTEN and re-scanned,
+    so the round-trip is part of what the oracle hash proves. At
+    100 TB the write is partitioned so only partitions containing
+    updated keys rewrite (here: whole-table, fixture-sized). On Delta/
+    Iceberg this collapses to MERGE INTO; the dataflow underneath is
+    exactly this plan.
+    """
+    target = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    updates = target.filter(F.col("o_orderkey") % 10 == 0).withColumn(
+        "o_totalprice", F.col("o_totalprice") + 100.0
+    )
+    merged = target.join(
+        updates.select("o_orderkey"), "o_orderkey", "left_anti"
+    ).unionByName(updates)
+    path = _scratch("orders_merged")
+    merged.write.mode("overwrite").parquet(path)
+    back = spark.read.parquet(path)
+    return back.groupBy("o_orderpriority").agg(
+        F.count("*").cast("long").alias("n"),
+        (F.floor(F.sum("o_totalprice") * 100 + F.lit(0.5)) / 100).alias(
+            "total"
+        ),
+    )

@@ -51,6 +51,7 @@ SURVEY_IDS = {
     "sample_hash_stratified", "agg_stats_exact", "agg_mode",
     "win_ntile_distribution", "fn_hash", "text_chunk_fixed",
     "text_pii_redact", "sample_split_assign", "pipeline_training_e2e",
+    "join_skew_salted", "sink_merge_upsert",
 }
 
 

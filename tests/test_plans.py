@@ -121,3 +121,16 @@ def test_training_pipeline_shuffle_budget(spark, queries):
     would mean a stage lost its pipelining."""
     plan = _plan(queries["pipeline_training_e2e"](spark, SF_SMOKE))
     assert plan.count("Exchange hashpartitioning") <= 3, plan
+
+
+def test_skew_salted_join_shuffles_on_salt(spark, queries):
+    """The salted join must be a SHUFFLE join keyed on (custkey, salt)
+    — a broadcast would mean no reduce-side skew existed to fix."""
+    plan = _plan(queries["join_skew_salted"](spark, SF_SMOKE))
+    assert "ShuffledHashJoin" in plan or "SortMergeJoin" in plan, plan
+    assert "BroadcastHashJoin" not in plan.split("HashAggregate")[0]
+    join_line = next(
+        ln for ln in plan.splitlines()
+        if "ShuffledHashJoin" in ln or "SortMergeJoin" in ln
+    )
+    assert "salt" in join_line, join_line
