@@ -134,7 +134,12 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     follows from |A∩B| counted by the join plus per-doc shingle counts
     — no second pass over the texts.
     """
-    shingled = _shingled(_with_dups(spark, sf_dir))
+    return _inverted_index_jaccard(_shingled(_with_dups(spark, sf_dir)))
+
+
+def _inverted_index_jaccard(shingled: DataFrame) -> DataFrame:
+    """(a_id, b_id, common, jaccard) for every pair with Jaccard >= 0.5,
+    exactly, via the inverted shingle index (no n² stage)."""
     ex = shingled.select("doc_id", F.explode("shingles").alias("shingle"))
     a = ex.select(F.col("doc_id").alias("a_id"), "shingle")
     b = ex.select(F.col("doc_id").alias("b_id"), "shingle")
@@ -296,6 +301,132 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         cand.select("a_id", "b_id", hamming.cast("long").alias("hamming"))
         .filter(F.col("hamming") <= 3)
+    )
+
+
+def _oracle_drop_k(k: int) -> str:
+    """DuckDB mirror of functions/text.drop_last_tokens(text, k)."""
+    w = "list_filter(string_split(text, ' '), x -> x <> '')"
+    return (
+        f"array_to_string(list_slice({w}, 1, greatest(len({w}) - {k}, 1)), ' ')"
+    )
+
+
+_ORACLE_CC = f"""
+    WITH RECURSIVE corpus AS (
+        SELECT doc_id, text FROM documents WHERE doc_id < 200
+        UNION ALL
+        SELECT doc_id + 1000000 AS doc_id, {_oracle_drop_k(2)} AS text
+        FROM documents WHERE doc_id < 200
+        UNION ALL
+        SELECT doc_id + 2000000 AS doc_id, {_oracle_drop_k(4)} AS text
+        FROM documents WHERE doc_id < 200
+    ), toks AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+        FROM corpus
+    ), sh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(range(1, len(w) - 1),
+                   i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2])) AS shingles
+        FROM toks
+    ), ex AS (
+        SELECT doc_id, unnest(shingles) AS shingle FROM sh
+    ), ns AS (
+        SELECT doc_id, len(shingles) AS n_sh FROM sh
+    ), pairs AS (
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS common
+        FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ), good_pairs AS (
+        SELECT p.a_id, p.b_id
+        FROM pairs p
+        JOIN ns na ON na.doc_id = p.a_id
+        JOIN ns nb ON nb.doc_id = p.b_id
+        WHERE CAST(p.common AS DOUBLE) / (na.n_sh + nb.n_sh - p.common) >= 0.5
+    ), edges AS (
+        SELECT a_id AS s, b_id AS d FROM good_pairs
+        UNION ALL
+        SELECT b_id AS s, a_id AS d FROM good_pairs
+    ), cc AS (
+        SELECT doc_id, doc_id AS label FROM sh
+        UNION
+        SELECT e.d AS doc_id, cc.label
+        FROM cc JOIN edges e ON e.s = cc.doc_id
+    )
+    SELECT doc_id, CAST(min(label) AS BIGINT) AS cluster_id
+    FROM cc GROUP BY doc_id
+"""
+
+
+@register("dedup_clusters_cc", oracle=_ORACLE_CC)
+def dedup_clusters_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-CLUSTER assignment: connected components over the
+    near-dup pair graph, cluster_id = min doc_id in the component.
+
+    Pairs alone don't dedup a corpus — A~B and B~C must collapse to ONE
+    keeper even when A~C was never emitted. This is the step between
+    "LSH found pairs" and "drop all but one per cluster" in every
+    production pipeline. Corpus = documents(<200) + two mutation
+    generations (drop-2 and drop-4 tokens), so components are chains,
+    not just pairs, and label propagation genuinely has to iterate.
+
+    Algorithm: iterative min-label propagation — labels start as own
+    doc_id; each round every node takes min(label) over itself and its
+    neighbors; stop when no label changed (counted per round). Rounds =
+    graph diameter, which for near-dup clusters is tiny (dup clusters
+    are dense); the same loop at 100 TB is the standard MapReduce-CC
+    idiom (cf. Kiveris et al. "Connected Components in MapReduce"),
+    with `localCheckpoint` each round to cut the growing lineage —
+    exactly what GraphFrames does under the hood, without the
+    dependency. Oracle: DuckDB recursive CTE reaching the same
+    fixpoint.
+    """
+    docs = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 200)
+        .select("doc_id", "text")
+    )
+    corpus = docs
+    for gen, k in ((1, 2), (2, 4)):
+        corpus = corpus.unionByName(
+            docs.select(
+                (F.col("doc_id") + gen * DUP_OFFSET).alias("doc_id"),
+                drop_last_tokens("text", k).alias("text"),
+            )
+        )
+    shingled = _shingled(corpus)
+    pairs = _inverted_index_jaccard(shingled).select("a_id", "b_id")
+    edges = (
+        pairs.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("b_id").alias("src"), F.col("a_id").alias("dst"))
+        )
+        .localCheckpoint()
+    )
+    labels = shingled.select(
+        "doc_id", F.col("doc_id").alias("label")
+    ).localCheckpoint()
+    for _ in range(10):
+        prop = edges.join(labels, F.col("src") == F.col("doc_id")).select(
+            F.col("dst").alias("doc_id"), "label"
+        )
+        new_labels = (
+            labels.unionByName(prop)
+            .groupBy("doc_id")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        "doc_id", F.col("label").cast("long").alias("cluster_id")
     )
 
 

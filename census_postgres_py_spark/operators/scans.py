@@ -292,3 +292,61 @@ def sink_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total"
         ),
     )
+
+
+@register(
+    "sink_bucketed",
+    oracle="""
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_items,
+           floor(sum(l_extendedprice) * 100 + 0.5) / 100 AS revenue
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def sink_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed parquet sink + exchange-free read-back join.
+
+    Both sides are written ``bucketBy(8, <join key>)`` +
+    ``sortBy(<join key>)`` into catalog tables, then joined on the
+    bucket key: Spark sees matching bucketing on both sides and plans
+    the SortMergeJoin with NO shuffle exchange on either input (a plan
+    test pins this — the only Exchange left is the final groupBy's).
+    This is THE amortization pattern at 100 TB: pay the partition
+    shuffle once at write time, then every subsequent co-located join
+    on that key is scan + merge, no network. The fixture uses 8
+    buckets; a real deployment sizes buckets so each is a few hundred
+    MB (e.g. 100 TB fact / 256 MB ≈ 400k buckets).
+    """
+    pairs = [
+        ("orders", "o_orderkey", ["o_orderkey", "o_orderpriority"]),
+        ("lineitem", "l_orderkey", ["l_orderkey", "l_extendedprice"]),
+    ]
+    for name, key, cols in pairs:
+        tbl = f"cppys_{name}_bucketed"
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        (
+            t(spark, sf_dir, name)
+            .select(*cols)
+            .write.bucketBy(8, key)
+            .sortBy(key)
+            .option("path", _scratch(tbl))
+            .mode("overwrite")
+            .saveAsTable(tbl)
+        )
+    o = spark.table("cppys_orders_bucketed")
+    li = spark.table("cppys_lineitem_bucketed")
+    # hint("merge"): at fixture scale Catalyst would broadcast orders
+    # and the bucketing would never engage; at 100 TB neither side is
+    # broadcastable and SMJ-over-buckets is the plan this op exists to
+    # demonstrate — sorted buckets make it scan + merge, zero shuffle.
+    return (
+        o.hint("merge")
+        .join(li, o["o_orderkey"] == li["l_orderkey"])
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").cast("long").alias("n_items"),
+            (F.floor(F.sum("l_extendedprice") * 100 + F.lit(0.5)) / 100).alias(
+                "revenue"
+            ),
+        )
+    )

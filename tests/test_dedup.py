@@ -82,3 +82,20 @@ def test_embedding_cosine_candidate_recall(spark, queries):
     }
     got = _pairs(queries["dedup_embedding_cosine"](spark, SF_T2))
     assert got == expect
+
+
+def test_clusters_cc_collapses_generations(spark, queries):
+    """Every original doc d (< 200) must share ONE cluster with its two
+    mutation generations (d+1M, d+2M) — i.e. the propagation loop
+    reached the fixpoint, not just the direct pairs. (Naturally-similar
+    original docs may merge clusters further, so the label can be
+    another original's id, but it is always <= d and shared by all
+    three generations.)"""
+    rows = queries["dedup_clusters_cc"](spark, SF_SMOKE).collect()
+    label = {r["doc_id"]: r["cluster_id"] for r in rows}
+    originals = [d for d in label if d < 1_000_000]
+    assert originals, "no original docs in output"
+    for d in originals:
+        assert label[d] <= d, (d, label[d])
+        for gen in (1_000_000, 2_000_000):
+            assert label.get(d + gen) == label[d], (d + gen, label[d])

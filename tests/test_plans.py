@@ -134,3 +134,12 @@ def test_skew_salted_join_shuffles_on_salt(spark, queries):
         if "ShuffledHashJoin" in ln or "SortMergeJoin" in ln
     )
     assert "salt" in join_line, join_line
+
+
+def test_bucketed_join_no_input_exchange(spark, queries):
+    """Bucketed tables joined on the bucket key must NOT shuffle the
+    join inputs — the write-time bucketing already co-located them.
+    The only allowed Exchange is the final groupBy's."""
+    plan = _plan(queries["sink_bucketed"](spark, SF_SMOKE))
+    assert "SortMergeJoin" in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
