@@ -251,6 +251,64 @@ def stream_custom_state(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_stream_join",
+    oracle="""
+    SELECT v.event_id AS view_id, c.event_id AS click_id, v.user_id
+    FROM events v JOIN events c
+      ON v.user_id = c.user_id
+     AND v.event_type = 'view' AND c.event_type = 'click'
+     AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 30 MINUTE
+    """,
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STREAM interval join: click-after-view attribution —
+    each view matched to every click by the same user within the next
+    30 minutes, both sides unbounded streams.
+
+    This is the join the stream-static pattern can't do: BOTH inputs
+    grow, so each side must buffer state for the other. The watermark
+    (1 hour) plus the time-range predicate is what makes that state
+    finite — Spark derives that a buffered view can't match once the
+    click watermark passes view_ts + 30 min and evicts it. Without the
+    range condition the state is unbounded and Spark (rightly) warns;
+    with it, a 30-day stream holds ~1 h of state per side. Inner joins
+    in append mode emit each match exactly when the later side
+    arrives, so batch==stream equivalence holds and the plain-SQL
+    oracle applies.
+    """
+    ev = _events_stream(spark, sf_dir)
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            "user_id",
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", "1 hour")
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("click_user"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    joined = views.join(
+        clicks,
+        F.expr(
+            """
+            user_id = click_user
+            AND click_ts >= view_ts
+            AND click_ts <= view_ts + interval 30 minutes
+            """
+        ),
+    ).select("view_id", "click_id", "user_id")
+    return _run_to_memory(joined, "append")
+
+
+@register(
     "stream_static_join",
     oracle="""
     SELECT n.n_name, CAST(count(*) AS BIGINT) AS n,

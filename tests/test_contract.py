@@ -37,7 +37,7 @@ SURVEY_IDS = {
     # §2.8 streaming
     "stream_tumbling", "stream_sliding", "stream_session",
     "stream_watermark", "stream_dedup_state", "stream_foreachbatch_jdbc",
-    "stream_custom_state", "stream_static_join",
+    "stream_custom_state", "stream_static_join", "stream_stream_join",
     # §2.9 UDF surface
     "udf_pandas_scalar", "udf_grouped_agg", "udf_grouped_map",
     "udf_cogrouped_map",

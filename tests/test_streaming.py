@@ -77,3 +77,29 @@ def test_stream_static_join_matches_batch(spark, queries):
         )
     )
     assert _rowset(stream) == _rowset(batch)
+
+
+def test_stream_stream_join_equals_batch(spark, queries):
+    """The watermarked stream-stream interval join must emit exactly
+    the pairs the equivalent batch self-join produces."""
+    from pyspark.sql import functions as F
+
+    from census_postgres_py_spark.tables import t
+
+    ev = t(spark, SF_SMOKE, "events")
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"), "user_id", F.col("ts").alias("vts")
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("cu"),
+        F.col("ts").alias("cts"),
+    )
+    batch = v.join(
+        c,
+        (F.col("user_id") == F.col("cu"))
+        & (F.col("cts") >= F.col("vts"))
+        & (F.col("cts") <= F.col("vts") + F.expr("interval 30 minutes")),
+    ).select("view_id", "click_id", "user_id")
+    stream = queries["stream_stream_join"](spark, SF_SMOKE)
+    assert _rowset(stream) == _rowset(batch)
