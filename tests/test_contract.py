@@ -43,6 +43,7 @@ SURVEY_IDS = {
     "udf_cogrouped_map",
     # §2.10 LLM-pipeline extensions
     "dedup_ngram_jaccard", "dedup_simhash", "dedup_embedding_cosine",
+    "dedup_edit_distance",
     "join_similarity_ann", "mm_decode_features", "mm_frame_sample",
     "mm_resize",
     "text_quality", "text_lang_id", "text_token_count", "text_fingerprint",

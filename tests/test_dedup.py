@@ -99,3 +99,14 @@ def test_clusters_cc_collapses_generations(spark, queries):
         assert label[d] <= d, (d, label[d])
         for gen in (1_000_000, 2_000_000):
             assert label.get(d + gen) == label[d], (d + gen, label[d])
+
+
+def test_edit_distance_finds_every_injected_pair(spark, queries):
+    # Suffix-deletion of 2 tokens is an edit distance of 6-18 chars on
+    # this fixture, well under EDIT_D=32, and length-band blocking is
+    # lossless — so all 200 injected pairs must surface.
+    pairs = _pairs(queries["dedup_edit_distance"](spark, SF_SMOKE))
+    assert len(_injected(pairs)) == 200
+    # Every reported distance respects the length lower bound.
+    for r in queries["dedup_edit_distance"](spark, SF_SMOKE).collect():
+        assert 0 <= r["edit_dist"] <= 32
