@@ -48,6 +48,7 @@ HEADLINE = [
     "pipeline_acs_e2e",
     "text_chunk_fixed",
     "pipeline_training_e2e",
+    "dedup_edit_distance",
 ]
 
 
