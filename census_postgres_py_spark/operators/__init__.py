@@ -11,6 +11,7 @@ from census_postgres_py_spark.operators import (  # noqa: F401
     scans,
     setops,
     similarity,
+    sketches,
     streaming_batch,
     text_analysis,
     transforms,

@@ -368,6 +368,42 @@ def agg_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_bitmap_distinct",
+    oracle="""
+    SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct_users
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT mergeable distinct counting via roaring-style bitmaps —
+    the middle ground between `count(DISTINCT)` (exact, but the
+    distinct shuffle carries every key instance) and HLL (mergeable,
+    but approximate): each (group, bucket) partial aggregates its
+    member ids into a fixed 4 KB bitmap, bitmaps OR-merge
+    associatively, and popcount gives the exact cardinality.
+
+    At 100 TB the win is the same as HLL's — partials persist per
+    ingest partition and merge at query time without rescanning — but
+    the answer is exact, which training-data dedup accounting usually
+    requires. `bitmap_bucket_number/bit_position` are 1-based, so ids
+    are shifted +1 to keep id 0 countable (any dense surrogate works
+    at scale). The oracle is plain count(DISTINCT) — the hash-match
+    itself proves the bitmap path is exact.
+    """
+    ev = t(spark, sf_dir, "events").select(
+        "event_type", (F.col("user_id") + 1).alias("uid")
+    )
+    partials = ev.groupBy(
+        "event_type", F.bitmap_bucket_number("uid").alias("bucket")
+    ).agg(F.bitmap_construct_agg(F.bitmap_bit_position("uid")).alias("bm"))
+    return partials.groupBy("event_type").agg(
+        F.bitmap_count(F.bitmap_or_agg("bm")).cast("long")
+        .alias("n_distinct_users"),
+    )
+
+
+@register(
     "agg_stats_exact",
     oracle="""
     WITH s AS (

@@ -575,3 +575,60 @@ def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("edit_dist") >= 0)
         .select("a_id", "b_id", "edit_dist")
     )
+
+
+@register(
+    "dedup_containment",
+    oracle=_ORACLE_SHINGLES
+    + """
+    , pairs AS (
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+               CAST(count(*) AS BIGINT) AS common
+        FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT a_id, b_id, common,
+           round(CAST(common AS DOUBLE) / na.n_sh, 4) AS containment
+    FROM pairs
+    JOIN ns na ON na.doc_id = a_id
+    WHERE CAST(common AS DOUBLE) / na.n_sh >= 0.9
+    """,
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASYMMETRIC containment dedup: C(A→B) = |sh(A) ∩ sh(B)| / |sh(A)|
+    ≥ 0.9 — "A is (nearly) a sub-document of B". Jaccard misses the
+    quote/excerpt/prefix-copy case (a 10% excerpt of a long doc has
+    tiny Jaccard but containment 1.0); training-data pipelines filter
+    on containment precisely to kill boilerplate-wrapped copies.
+
+    Same inverted shingle index as `dedup_ngram_jaccard` — one explode
+    + equi-join, cost ∝ shingle collisions, never n² — but pairs are
+    kept ORDERED (both directions scored), since C(A→B) ≠ C(B→A).
+    The injected truncated copies are fully contained in their
+    originals (containment 1.0) while the reverse direction drops
+    below 1.0 by exactly the two clipped shingles.
+    """
+    shingled = _shingled(_with_dups(spark, sf_dir))
+    ex = shingled.select("doc_id", F.explode("shingles").alias("shingle"))
+    a = ex.select(F.col("doc_id").alias("a_id"), "shingle")
+    b = ex.select(F.col("doc_id").alias("b_id"), "shingle")
+    pairs = (
+        a.join(b, "shingle")
+        .filter(F.col("a_id") != F.col("b_id"))
+        .groupBy("a_id", "b_id")
+        .agg(F.count("*").alias("common"))
+    )
+    na = shingled.select(
+        F.col("doc_id").alias("a_id"), F.col("n_sh").alias("a_n")
+    )
+    cont = F.col("common").cast("double") / F.col("a_n")
+    return (
+        pairs.join(na, "a_id")
+        .filter(cont >= 0.9)
+        .select(
+            "a_id",
+            "b_id",
+            F.col("common").cast("long").alias("common"),
+            F.round(cont, 4).alias("containment"),
+        )
+    )

@@ -165,6 +165,148 @@ def win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "win_funnel_steps",
+    oracle="""
+    WITH base AS (
+        SELECT user_id, event_type, ts, event_id FROM events
+        WHERE ts < TIMESTAMP '2024-01-04'
+    ), s1 AS (
+        SELECT user_id, event_type, ts, event_id,
+               max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                   OVER w AS seen_view
+        FROM base
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ), s2 AS (
+        SELECT *, max(CASE WHEN event_type = 'click' AND seen_view = 1
+                           THEN 1 ELSE 0 END) OVER w AS seen_click
+        FROM s1
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ), s3 AS (
+        SELECT *, max(CASE WHEN event_type = 'purchase' AND seen_click = 1
+                           THEN 1 ELSE 0 END) OVER w AS seen_purchase,
+                  CASE WHEN event_type = 'purchase' AND seen_click = 1
+                       THEN epoch_ms(ts) END AS conv_ms
+        FROM s2
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT user_id,
+           CAST(max(seen_view) AS BIGINT) AS reached_view,
+           CAST(max(seen_click) AS BIGINT) AS reached_click,
+           CAST(max(seen_purchase) AS BIGINT) AS reached_purchase,
+           min(conv_ms) AS first_conversion_ms
+    FROM s3 GROUP BY user_id
+    """,
+)
+def win_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential funnel (MATCH_RECOGNIZE-lite): per user, did a
+    view → click → purchase sequence occur IN ORDER, and when did the
+    first in-order purchase land.
+
+    The pattern state machine is expressed as three chained running-max
+    windows over the same (user, ts) order: ``seen_view`` flips to 1 at
+    the first view, ``seen_click`` only counts clicks after that flip,
+    ``seen_purchase`` only purchases after a qualifying click. All
+    three windows share one partitioning+sort, so the whole funnel is
+    ONE shuffle + one per-partition sort regardless of pattern depth —
+    the idiomatic Spark answer to MATCH_RECOGNIZE (which Spark lacks).
+    Restricted to the first 3 days so not every user converts (the
+    predicate reaches the parquet scan as a pushed filter).
+    """
+    ev = t(spark, sf_dir, "events").filter(
+        F.col("ts") < F.lit("2024-01-04").cast("timestamp")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    is_ = lambda kind: F.col("event_type") == kind  # noqa: E731
+    s1 = ev.withColumn(
+        "seen_view", F.max(F.when(is_("view"), 1).otherwise(0)).over(w)
+    )
+    s2 = s1.withColumn(
+        "seen_click",
+        F.max(
+            F.when(is_("click") & (F.col("seen_view") == 1), 1).otherwise(0)
+        ).over(w),
+    )
+    s3 = s2.withColumn(
+        "seen_purchase",
+        F.max(
+            F.when(is_("purchase") & (F.col("seen_click") == 1), 1).otherwise(0)
+        ).over(w),
+    ).withColumn(
+        "conv_ms",
+        F.when(
+            is_("purchase") & (F.col("seen_click") == 1), F.unix_millis("ts")
+        ),
+    )
+    return s3.groupBy("user_id").agg(
+        F.max("seen_view").cast("long").alias("reached_view"),
+        F.max("seen_click").cast("long").alias("reached_click"),
+        F.max("seen_purchase").cast("long").alias("reached_purchase"),
+        F.min("conv_ms").alias("first_conversion_ms"),
+    )
+
+
+@register(
+    "win_gap_islands",
+    oracle="""
+    WITH m AS (
+        SELECT DISTINCT o_custkey,
+               CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1 AS BIGINT)
+                   AS midx
+        FROM orders
+    ), i AS (
+        SELECT o_custkey, midx,
+               midx - row_number() OVER (PARTITION BY o_custkey
+                                         ORDER BY midx) AS island
+        FROM m
+    )
+    SELECT o_custkey,
+           CAST(min(midx) AS BIGINT) AS streak_start,
+           CAST(count(*) AS BIGINT) AS streak_len
+    FROM i GROUP BY o_custkey, island
+    """,
+)
+def win_gap_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: maximal runs of CONSECUTIVE active months per
+    customer (streak detection), via the classic ``value - row_number``
+    dense-grouping idiom — a run of consecutive month indexes maps to a
+    constant island id, so streaks fall out of one groupBy.
+
+    Distinct-months, the window, and the island groupBy all shuffle on
+    the same key (custkey), so at 100 TB this is one repartition
+    reused across stages; no self-join and no per-row state beyond the
+    sort. (stream_session covers the *time-gap* variant; this is the
+    *integer-gap* variant used for retention/streak analytics.)
+    """
+    o = t(spark, sf_dir, "orders")
+    m = (
+        o.select(
+            "o_custkey",
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1)
+            .cast("long")
+            .alias("midx"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("o_custkey").orderBy("midx")
+    i = m.withColumn("island", F.col("midx") - F.row_number().over(w))
+    return (
+        i.groupBy("o_custkey", "island")
+        .agg(
+            F.min("midx").alias("streak_start"),
+            F.count("*").alias("streak_len"),
+        )
+        .select("o_custkey", "streak_start", "streak_len")
+    )
+
+
+@register(
     "win_ntile_distribution",
     oracle="""
     SELECT c_custkey, c_nationkey, c_acctbal,

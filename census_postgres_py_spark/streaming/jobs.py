@@ -309,6 +309,87 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_stream_left_outer",
+    oracle="""
+    SELECT v.event_id AS view_id, c.event_id AS click_id, v.user_id
+    FROM events v LEFT JOIN events c
+      ON v.user_id = c.user_id
+     AND c.event_type = 'click'
+     AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 30 MINUTE
+    WHERE v.event_type = 'view'
+    """,
+)
+def stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join: every view, matched to
+    clicks by the same user in the next 30 minutes — or emitted with a
+    NULL click once it provably can't match.
+
+    The outer side is the hard part: a NULL result for a view can only
+    be emitted when the click watermark passes view_ts + 30 min (before
+    that, a matching click could still arrive). On a finite fixture the
+    watermark stops at max(ts) - delay, which would hold back the last
+    hour's unmatched views forever — so the source appends a single
+    far-future HEARTBEAT event (filtered out of both sides' payloads)
+    whose only job is to advance the watermark and flush the tail.
+    That is the standard production idiom for low-traffic topics:
+    periodic heartbeat messages bound result latency. Filtered out
+    before the join, the heartbeat never appears in results, so the
+    batch LEFT JOIN oracle still applies exactly.
+    """
+    src_dir = _scratch(
+        f"ssl_src_{os.path.basename(sf_dir)}_{uuid.uuid4().hex[:8]}"
+    )
+    ev = t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts"
+    )
+    ev.coalesce(1).write.mode("overwrite").parquet(src_dir)
+    heartbeat = spark.createDataFrame(
+        [(-1, -1, "heartbeat")], "event_id long, user_id long, event_type string"
+    ).withColumn(
+        "ts",
+        F.to_timestamp(F.lit("2024-06-01 00:00:00")),  # >> max fixture ts
+    )
+    heartbeat.coalesce(1).write.mode("append").parquet(src_dir)
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    views = (
+        stream.filter(F.col("event_type").isin("view", "heartbeat"))
+        .select(
+            F.col("event_id").alias("view_id"),
+            "user_id",
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", "1 hour")
+    )
+    clicks = (
+        stream.filter(F.col("event_type").isin("click", "heartbeat"))
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("click_user"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    joined = views.join(
+        clicks,
+        F.expr(
+            """
+            user_id = click_user
+            AND click_ts >= view_ts
+            AND click_ts <= view_ts + interval 30 minutes
+            """
+        ),
+        "leftOuter",
+    ).select("view_id", "click_id", "user_id")
+    out = _run_to_memory(joined, "append")
+    return out.filter(F.col("view_id") >= 0)
+
+
+@register(
     "stream_static_join",
     oracle="""
     SELECT n.n_name, CAST(count(*) AS BIGINT) AS n,

@@ -24,10 +24,10 @@ SURVEY_IDS = {
     "agg_hash", "agg_distinct", "agg_approx_distinct", "agg_percentile",
     "agg_rollup", "agg_cube", "agg_grouping_sets", "agg_collect",
     "agg_filtered", "pivot_wide", "unpivot_long", "agg_skew_salted",
-    "agg_hll_mergeable",
+    "agg_hll_mergeable", "agg_bitmap_distinct", "agg_tdigest",
     # §2.5 windows
     "win_rank", "win_topk_group", "win_lag_lead", "win_running",
-    "win_range_frame",
+    "win_range_frame", "win_funnel_steps", "win_gap_islands",
     # §2.6 sort / set ops / dedup
     "sort_limit", "union_all", "set_intersect", "set_except",
     "dedup_exact", "dedup_minhash",
@@ -38,12 +38,13 @@ SURVEY_IDS = {
     "stream_tumbling", "stream_sliding", "stream_session",
     "stream_watermark", "stream_dedup_state", "stream_foreachbatch_jdbc",
     "stream_custom_state", "stream_static_join", "stream_stream_join",
+    "stream_stream_left_outer",
     # §2.9 UDF surface
     "udf_pandas_scalar", "udf_grouped_agg", "udf_grouped_map",
     "udf_cogrouped_map",
     # §2.10 LLM-pipeline extensions
     "dedup_ngram_jaccard", "dedup_simhash", "dedup_embedding_cosine",
-    "dedup_edit_distance",
+    "dedup_edit_distance", "dedup_containment",
     "join_similarity_ann", "mm_decode_features", "mm_frame_sample",
     "mm_resize",
     "text_quality", "text_lang_id", "text_token_count", "text_fingerprint",

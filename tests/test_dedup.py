@@ -110,3 +110,32 @@ def test_edit_distance_finds_every_injected_pair(spark, queries):
     # Every reported distance respects the length lower bound.
     for r in queries["dedup_edit_distance"](spark, SF_SMOKE).collect():
         assert 0 <= r["edit_dist"] <= 32
+
+
+def test_containment_finds_every_injected_copy(spark, queries):
+    # Every truncated copy is fully contained in its original:
+    # (copy -> original) must appear with containment 1.0.
+    rows = queries["dedup_containment"](spark, SF_SMOKE).collect()
+    full = {
+        (r["a_id"], r["b_id"]) for r in rows if r["containment"] == 1.0
+    }
+    copies = {(i + DUP_OFFSET, i) for i in range(200)}
+    assert copies <= full
+
+
+def test_containment_is_asymmetric(spark, queries):
+    # containment(orig -> copy) < 1.0 (the two clipped shingles are
+    # missing from the copy), while copy -> orig is exactly 1.0 — the
+    # direction Jaccard can't distinguish.
+    rows = queries["dedup_containment"](spark, SF_SMOKE).collect()
+    by_pair = {(r["a_id"], r["b_id"]): r["containment"] for r in rows}
+    forward = [
+        by_pair.get((i, i + DUP_OFFSET)) for i in range(200)
+    ]
+    present = [c for c in forward if c is not None]
+    assert present, "no orig->copy direction survived the 0.9 threshold"
+    # < 1.0 for most originals; == 1.0 is legitimate when the clipped
+    # trailing shingles also occur earlier in the doc (distinct shingle
+    # sets then coincide), so assert the direction gap exists somewhere
+    # rather than everywhere.
+    assert any(c < 1.0 for c in present)

@@ -103,3 +103,34 @@ def test_stream_stream_join_equals_batch(spark, queries):
     ).select("view_id", "click_id", "user_id")
     stream = queries["stream_stream_join"](spark, SF_SMOKE)
     assert _rowset(stream) == _rowset(batch)
+
+
+def test_stream_stream_left_outer_flushes_unmatched(spark, queries):
+    """The LEFT OUTER stream-stream join must emit (a) exactly the
+    batch left-join rows, including (b) NULL-click rows for views
+    with no click in-window — (b) only works if the heartbeat
+    advanced the watermark far enough to flush the tail."""
+    from pyspark.sql import functions as F
+
+    from census_postgres_py_spark.tables import t
+
+    ev = t(spark, SF_SMOKE, "events")
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"), "user_id", F.col("ts").alias("vts")
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("cu"),
+        F.col("ts").alias("cts"),
+    )
+    batch = v.join(
+        c,
+        (F.col("user_id") == F.col("cu"))
+        & (F.col("cts") >= F.col("vts"))
+        & (F.col("cts") <= F.col("vts") + F.expr("interval 30 minutes")),
+        "leftOuter",
+    ).select("view_id", "click_id", "user_id")
+    stream = queries["stream_stream_left_outer"](spark, SF_SMOKE)
+    assert _rowset(stream) == _rowset(batch)
+    nulls = [r for r in stream.collect() if r["click_id"] is None]
+    assert nulls, "no unmatched views emitted - watermark never flushed"
