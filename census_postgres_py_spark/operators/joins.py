@@ -390,3 +390,98 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total"
         ),
     )
+
+
+@register(
+    "join_null_safe",
+    oracle="""
+    WITH l AS (
+        SELECT c_custkey, nullif(c_nationkey, 3) AS nk FROM customer
+    ), r AS (
+        SELECT nullif(n_nationkey, 3) AS nk, n_name FROM nation
+    )
+    SELECT c_custkey, n_name
+    FROM l JOIN r ON l.nk IS NOT DISTINCT FROM r.nk
+    """,
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-safe equi join (``<=>`` / IS NOT DISTINCT FROM): NULL keys
+    MATCH each other instead of silently dropping — the semantics a
+    load pipeline needs when "unknown" is a real join category (the
+    reference jams sentinel values to NULL on load; joining those rows
+    back up requires null-safety or they vanish).
+
+    NULLs are introduced via nullif on one nation key, so exactly the
+    rows an inner join would lose are the ones this operator must
+    keep. `eqNullSafe` stays a hash-relation key (null-safe equality
+    is still an equi-join — no fallback to nested-loop), so the plan
+    is the same broadcast/shuffled hash join at any scale.
+    """
+    left = t(spark, sf_dir, "customer").select(
+        "c_custkey", F.nullif(F.col("c_nationkey"), F.lit(3)).alias("nk")
+    )
+    right = t(spark, sf_dir, "nation").select(
+        F.nullif(F.col("n_nationkey"), F.lit(3)).alias("rnk"),
+        "n_name",
+    )
+    return (
+        left.join(F.broadcast(right), left["nk"].eqNullSafe(right["rnk"]))
+        .select("c_custkey", "n_name")
+    )
+
+
+@register(
+    "join_partition_pruned",
+    oracle="""
+    WITH d(dim_year, label) AS (VALUES (1996, 'y96'), (1997, 'y97'))
+    SELECT label, CAST(count(*) AS BIGINT) AS n,
+           floor(sum(o_totalprice) * 100 + 0.5) / 100 AS revenue
+    FROM orders JOIN d ON year(o_orderdate) = dim_year
+    GROUP BY label
+    """,
+)
+def join_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning (DPP): a fact table PARTITIONED on
+    year joined to a dim filtered to 2 of 7 years — the fact scan must
+    read only the 2 matching partition directories, with the pruning
+    values discovered from the dim AT RUNTIME (no literal year
+    predicate anywhere on the fact side).
+
+    This is the flagship 100 TB scan-avoidance pattern: a date-
+    partitioned fact at scale is pruned by whatever dimension the
+    query filters on, turning a full scan into a 2/7 scan. The
+    executed plan carries ``dynamicpruningexpression(o_year IN
+    dynamicpruning#...)`` in the fact's PartitionFilters —
+    tests/test_plans.py pins exactly that. The partitioned copy is
+    written once per sf_dir (scratch marker), standing in for the
+    already-partitioned fact a warehouse would own.
+    """
+    import os
+
+    from census_postgres_py_spark.operators.scans import _scratch
+
+    fact_dir = _scratch(f"orders_dpp_{os.path.basename(sf_dir)}")
+    if not os.path.exists(os.path.join(fact_dir, "_SUCCESS")):
+        (
+            t(spark, sf_dir, "orders")
+            .withColumn("o_year", F.year("o_orderdate"))
+            .write.mode("overwrite")
+            .partitionBy("o_year")
+            .parquet(fact_dir)
+        )
+    fact = spark.read.parquet(fact_dir)
+    years = spark.createDataFrame(
+        [(y, f"y{y % 100}") for y in range(1995, 2002)],
+        "dim_year int, label string",
+    )
+    dim = years.filter(F.col("label").isin("y96", "y97"))
+    return (
+        fact.join(F.broadcast(dim), fact["o_year"] == dim["dim_year"])
+        .groupBy("label")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            (F.floor(F.sum("o_totalprice") * 100 + F.lit(0.5)) / 100).alias(
+                "revenue"
+            ),
+        )
+    )

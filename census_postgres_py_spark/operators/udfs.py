@@ -164,3 +164,58 @@ def udf_cogrouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
             schema="doc_id long, n_chars long, emb_norm double",
         )
     )
+
+
+@register(
+    "udf_map_in_arrow",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           floor(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100 + 0.5)
+               / 100 AS charge
+    FROM lineitem
+    """,
+)
+def udf_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`mapInArrow`: the zero-copy tier below pandas UDFs — the
+    function receives raw ``pyarrow.RecordBatch``es and computes with
+    Arrow compute kernels, skipping the Arrow→pandas conversion both
+    directions. For numeric kernels over wide batches this is the
+    cheapest possible Python detour (the data never leaves Arrow
+    buffers); at 100 TB it is the pattern for Python-side feature
+    pipelines where pandas materialization would double memory.
+
+    The oracle is the native-SQL twin of the same float expression —
+    Arrow kernels evaluate left-to-right like the JVM, so the result
+    is bit-identical (same self-differential policy as
+    udf_pandas_scalar).
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def charge_batches(batches):
+        for batch in batches:
+            price = batch.column("l_extendedprice")
+            disc = batch.column("l_discount")
+            tax = batch.column("l_tax")
+            raw = pc.multiply(
+                pc.multiply(price, pc.subtract(pa.scalar(1.0), disc)),
+                pc.add(pa.scalar(1.0), tax),
+            )
+            charge = pc.divide(
+                pc.floor(pc.add(pc.multiply(raw, pa.scalar(100.0)),
+                                pa.scalar(0.5))),
+                pa.scalar(100.0),
+            )
+            yield pa.RecordBatch.from_arrays(
+                [batch.column("l_orderkey"), batch.column("l_linenumber"),
+                 charge],
+                names=["l_orderkey", "l_linenumber", "charge"],
+            )
+
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice", "l_discount", "l_tax"
+    )
+    return li.mapInArrow(
+        charge_batches,
+        "l_orderkey long, l_linenumber int, charge double",
+    )

@@ -19,7 +19,7 @@ SURVEY_IDS = {
     "join_inner_hash", "join_broadcast", "join_multiway_star",
     "join_left_outer", "join_semi", "join_anti", "join_theta_range",
     "join_asof", "join_similarity_topk", "join_similarity_ivf",
-    "join_copartitioned",
+    "join_copartitioned", "join_null_safe", "join_partition_pruned",
     # §2.4 aggregation
     "agg_hash", "agg_distinct", "agg_approx_distinct", "agg_percentile",
     "agg_rollup", "agg_cube", "agg_grouping_sets", "agg_collect",
@@ -41,7 +41,7 @@ SURVEY_IDS = {
     "stream_stream_left_outer",
     # §2.9 UDF surface
     "udf_pandas_scalar", "udf_grouped_agg", "udf_grouped_map",
-    "udf_cogrouped_map",
+    "udf_cogrouped_map", "udf_map_in_arrow",
     # §2.10 LLM-pipeline extensions
     "dedup_ngram_jaccard", "dedup_simhash", "dedup_embedding_cosine",
     "dedup_edit_distance", "dedup_containment",

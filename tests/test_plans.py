@@ -143,3 +143,26 @@ def test_bucketed_join_no_input_exchange(spark, queries):
     plan = _plan(queries["sink_bucketed"](spark, SF_SMOKE))
     assert "SortMergeJoin" in plan, plan
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_dynamic_partition_pruning_fires(spark, queries):
+    """join_partition_pruned's whole point: the fact scan's
+    PartitionFilters must carry a runtime dynamicpruningexpression
+    (2 of 7 year partitions read), not a full scan."""
+    df = queries["join_partition_pruned"](spark, SF_SMOKE)
+    plan = _plan(df)
+    fact_scan = [
+        line
+        for line in plan.split("\n")
+        if "PartitionFilters" in line and "o_year" in line
+    ]
+    assert fact_scan, plan
+    assert any("dynamicpruning" in line.lower() for line in fact_scan), plan
+
+
+def test_null_safe_join_stays_hash_join(spark, queries):
+    """eqNullSafe must remain an equi hash-join key - a fallback to
+    BroadcastNestedLoopJoin would be quadratic at scale."""
+    plan = _plan(queries["join_null_safe"](spark, SF_SMOKE))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
