@@ -49,6 +49,12 @@ HEADLINE = [
     "text_chunk_fixed",
     "pipeline_training_e2e",
     "dedup_edit_distance",
+    "win_funnel_steps",
+    "dedup_containment",
+    "agg_tdigest",
+    "agg_bitmap_distinct",
+    "join_partition_pruned",
+    "udf_map_in_arrow",
 ]
 
 
