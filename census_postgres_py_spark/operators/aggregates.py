@@ -522,3 +522,84 @@ def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cnt",
         )
     )
+
+
+_PROFILE_COLS = (
+    ("c_custkey", "int"),
+    ("c_name", "str"),
+    ("c_nationkey", "int"),
+    ("c_acctbal", "double"),
+    ("c_mktsegment", "str"),
+)
+
+
+def _profile_oracle() -> str:
+    branches = []
+    for col, kind in _PROFILE_COLS:
+        if kind == "double":
+            mn, mx = (
+                f"printf('%.2f', min({col}))",
+                f"printf('%.2f', max({col}))",
+            )
+        else:
+            mn, mx = f"CAST(min({col}) AS VARCHAR)", f"CAST(max({col}) AS VARCHAR)"
+        branches.append(
+            f"""
+            SELECT '{col}' AS column_name,
+                   CAST(count(*) - count({col}) AS BIGINT) AS n_null,
+                   CAST(count(DISTINCT {col}) AS BIGINT) AS n_distinct,
+                   {mn} AS min_value, {mx} AS max_value
+            FROM customer
+            """
+        )
+    return " UNION ALL ".join(branches)
+
+
+@register("agg_profile_summary", oracle=_profile_oracle())
+def agg_profile_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset profiling — per-column null count, distinct count, and
+    min/max — the validation pass every load pipeline runs before
+    publishing a table (the reference's post-load sanity counts [PK],
+    generalized to a full per-column profile).
+
+    ONE aggregation pass computes every column's measures side by side
+    (null/min/max are map-side combinable; the distincts share the one
+    shuffle), then the single result row is exploded into one row per
+    column. Per-column UNION-ALL rescans — what the naive SQL does,
+    and what the oracle literally is — would read the table N times;
+    at 100 TB one pass vs five is the whole game. Doubles are
+    formatted to fixed 2dp strings on both sides so the profile is
+    type-uniform and hash-stable.
+    """
+    aggs = []
+    for col, kind in _PROFILE_COLS:
+        aggs.append(
+            F.sum(F.col(col).isNull().cast("long")).alias(f"{col}__nn")
+        )
+        aggs.append(F.countDistinct(col).alias(f"{col}__nd"))
+        if kind == "double":
+            aggs.append(
+                F.format_string("%.2f", F.min(col)).alias(f"{col}__mn")
+            )
+            aggs.append(
+                F.format_string("%.2f", F.max(col)).alias(f"{col}__mx")
+            )
+        else:
+            aggs.append(F.min(col).cast("string").alias(f"{col}__mn"))
+            aggs.append(F.max(col).cast("string").alias(f"{col}__mx"))
+    one = t(spark, sf_dir, "customer").agg(*aggs)
+    per_col = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(col).alias("column_name"),
+                    F.col(f"{col}__nn").alias("n_null"),
+                    F.col(f"{col}__nd").alias("n_distinct"),
+                    F.col(f"{col}__mn").alias("min_value"),
+                    F.col(f"{col}__mx").alias("max_value"),
+                )
+                for col, _ in _PROFILE_COLS
+            ]
+        )
+    ).alias("p")
+    return one.select(per_col).select("p.*")

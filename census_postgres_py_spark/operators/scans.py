@@ -350,3 +350,27 @@ def sink_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "scan_orc",
+    oracle="""
+    SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+    FROM customer
+    """,
+)
+def scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC columnar scan — the second columnar format big estates
+    actually hold (Hive-lineage warehouses are ORC; Spark reads/writes
+    it natively with the same pushdown/pruning machinery as parquet).
+    Round-trips `customer` (long/int/double/string columns) through
+    ORC; hash-equality with the parquet original proves the format
+    conversion is lossless, the same bar as scan_csv_schema.
+    """
+    path = _scratch(f"customer_orc_{os.path.basename(sf_dir)}")
+    cust = t(spark, sf_dir, "customer")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        cust.write.mode("overwrite").orc(path)
+    return spark.read.orc(path).select(
+        "c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"
+    )

@@ -11,6 +11,7 @@ from tests.conftest import SF_SMOKE
 SURVEY_IDS = {
     # §2.1 scans / sources / sinks
     "scan_parquet", "scan_csv_schema", "scan_fixed_width", "scan_jsonl",
+    "scan_orc",
     "sink_parquet", "sink_jdbc", "schema_from_metadata", "pipeline_acs_e2e",
     # §2.2 transforms
     "project_rename", "filter_pred", "filter_in_set", "null_normalize",
@@ -25,6 +26,7 @@ SURVEY_IDS = {
     "agg_rollup", "agg_cube", "agg_grouping_sets", "agg_collect",
     "agg_filtered", "pivot_wide", "unpivot_long", "agg_skew_salted",
     "agg_hll_mergeable", "agg_bitmap_distinct", "agg_tdigest",
+    "agg_profile_summary",
     # §2.5 windows
     "win_rank", "win_topk_group", "win_lag_lead", "win_running",
     "win_range_frame", "win_funnel_steps", "win_gap_islands",
