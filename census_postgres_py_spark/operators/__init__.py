@@ -14,6 +14,7 @@ from census_postgres_py_spark.operators import (  # noqa: F401
     sketches,
     streaming_batch,
     text_analysis,
+    timeseries,
     transforms,
     udfs,
     windows,

@@ -603,3 +603,65 @@ def agg_profile_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     ).alias("p")
     return one.select(per_col).select("p.*")
+
+
+@register(
+    "agg_histogram",
+    oracle="""
+    WITH buckets AS (
+        SELECT DISTINCT event_type,
+               unnest(generate_series(0, 19)) AS bucket
+        FROM events
+    ), counts AS (
+        SELECT event_type,
+               CAST(least(floor(value / 25.0), 19) AS BIGINT) AS bucket,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2
+    )
+    SELECT b.event_type, b.bucket, b.bucket * 25.0 AS bucket_lo,
+           coalesce(c.n, 0) AS n
+    FROM buckets b LEFT JOIN counts c
+      ON b.event_type = c.event_type AND b.bucket = c.bucket
+    """,
+)
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense fixed-width histogram of `events.value` per event type —
+    the profiling primitive behind every data-quality dashboard.
+
+    Bucketing is pure arithmetic (`least(floor(value/25), 19)`), so
+    the count is one map-side-combinable aggregation: partials carry
+    at most types x 20 rows per task regardless of input size. The
+    dense grid (including empty buckets — the part naive GROUP BY
+    misses) comes from a `sequence`+`explode` over the distinct types,
+    a broadcastable few-hundred-row frame, left-joined to the counts.
+    At 100 TB the scan dominates; everything after the partial agg is
+    driver-trivial.
+    """
+    ev = t(spark, sf_dir, "events")
+    counts = (
+        ev.groupBy(
+            "event_type",
+            F.least(F.floor(F.col("value") / 25.0), F.lit(19))
+            .cast("long")
+            .alias("bucket"),
+        )
+        .agg(F.count("*").alias("n"))
+    )
+    buckets = (
+        ev.select("event_type")
+        .distinct()
+        .select(
+            "event_type",
+            F.explode(F.sequence(F.lit(0), F.lit(19))).alias("bucket"),
+        )
+        .withColumn("bucket", F.col("bucket").cast("long"))
+    )
+    return (
+        buckets.join(F.broadcast(counts), ["event_type", "bucket"], "left")
+        .select(
+            "event_type",
+            "bucket",
+            (F.col("bucket") * 25.0).alias("bucket_lo"),
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n"),
+        )
+    )

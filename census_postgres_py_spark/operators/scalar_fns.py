@@ -227,3 +227,45 @@ def fn_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.col("c_name").cast("binary")).alias("h_md5"),
         F.sha2(F.col("c_name").cast("binary"), 256).alias("h_sha256"),
     )
+
+
+@register(
+    "fn_nested_explode",
+    oracle="""
+    SELECT l_orderkey,
+           CAST(row_number() OVER (PARTITION BY l_orderkey
+                                   ORDER BY l_linenumber, l_quantity) - 1
+                AS BIGINT) AS pos,
+           l_linenumber, l_quantity
+    FROM lineitem
+    """,
+)
+def fn_nested_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-data round trip: pack each order's lines into a sorted
+    ARRAY<STRUCT>, then posexplode back to relational rows with stable
+    positions.
+
+    This is the document/metadata data model (multimodal manifests,
+    token spans, ACS cell groups) exercised end-to-end: collect_list →
+    array_sort gives a deterministic nested value independent of
+    partial-merge order — collect_list alone is partition-order-
+    dependent and would break re-runnability at scale — and posexplode
+    recovers ordinal positions without a window over the full table.
+    One shuffle (the groupBy); the explode is pipeline-local.
+    """
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+    nested = li.groupBy("l_orderkey").agg(
+        F.array_sort(
+            F.collect_list(F.struct("l_linenumber", "l_quantity"))
+        ).alias("lines")
+    )
+    return nested.select(
+        "l_orderkey", F.posexplode("lines").alias("pos", "line")
+    ).select(
+        "l_orderkey",
+        F.col("pos").cast("long").alias("pos"),
+        F.col("line.l_linenumber").alias("l_linenumber"),
+        F.col("line.l_quantity").alias("l_quantity"),
+    )

@@ -1,0 +1,90 @@
+"""Time-series resampling (SURVEY.md §2 EXT — telemetry/metrics shape).
+
+The reference's domain is batch census loads [PK]; a 100 TB estate's
+second-biggest table is invariably event telemetry, and the first
+query anyone runs on it is "resample to a fixed grid and fill the
+gaps". Expressed Spark-first: the hourly rollup is one map-side
+combinable aggregation, the dense grid is `sequence()` + `explode`
+(generated, never shuffled), and the forward-fill is a single
+`last(ignorenulls)` running window — three shuffles total, all on
+`user_id`, so AQE can coalesce them and a pre-bucketed source would
+pay one.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from census_postgres_py_spark.registry import register
+from census_postgres_py_spark.tables import t
+
+
+@register(
+    "ts_resample_fill",
+    oracle="""
+    WITH hourly AS (
+        SELECT user_id, date_trunc('hour', ts) AS h,
+               floor(avg(value) * 100 + 0.5) / 100 AS v
+        FROM events GROUP BY 1, 2
+    ), bounds AS (
+        SELECT user_id, min(h) AS h0, max(h) AS h1 FROM hourly GROUP BY 1
+    ), grid AS (
+        SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS g
+        FROM bounds
+    )
+    SELECT g.user_id, epoch_ms(g.g) AS grid_ms, h.v AS value_ffill
+    FROM grid g ASOF LEFT JOIN hourly h
+      ON g.user_id = h.user_id AND g.g >= h.h
+    """,
+)
+def ts_resample_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resample events to a dense per-user hourly grid and forward-fill
+    observation gaps with the last seen hourly average.
+
+    Grid generation is `sequence(min_hour, max_hour)` per user —
+    computed from the already-aggregated hourly rollup, so the dense
+    timeline (~700 rows/user/month) never touches the raw event scan.
+    The fill is `last(v, ignorenulls)` over a running frame: Spark
+    streams it per partition in one pass, the exact physical shape an
+    ASOF join would cost anyway (the oracle literally uses ASOF).
+    Hourly averages are rounded to 2dp BEFORE the fill so both engines
+    propagate identical values. Grid timestamps are exported as
+    epoch-ms BIGINT per the registry's timestamp rule.
+    """
+    ev = t(spark, sf_dir, "events")
+    v2 = (F.floor(F.avg("value") * 100 + F.lit(0.5)) / 100).alias("v")
+    hourly = ev.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("h")
+    ).agg(v2)
+    bounds = hourly.groupBy("user_id").agg(
+        F.min("h").alias("h0"), F.max("h").alias("h1")
+    )
+    grid = bounds.select(
+        "user_id",
+        F.explode(
+            F.sequence("h0", "h1", F.expr("interval 1 hour"))
+        ).alias("grid_ts"),
+    )
+    g, h = grid.alias("g"), hourly.alias("h")
+    joined = g.join(
+        h,
+        (F.col("g.user_id") == F.col("h.user_id"))
+        & (F.col("g.grid_ts") == F.col("h.h")),
+        "left",
+    ).select(
+        F.col("g.user_id").alias("user_id"),
+        F.col("g.grid_ts").alias("grid_ts"),
+        F.col("h.v").alias("v"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("grid_ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        "user_id",
+        F.unix_millis("grid_ts").alias("grid_ms"),
+        F.last("v", ignorenulls=True).over(w).alias("value_ffill"),
+    )

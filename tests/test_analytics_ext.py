@@ -1,0 +1,67 @@
+"""Semantic + plan tests for the analytics-extension operators
+(ts_resample_fill, agg_histogram, fn_nested_explode,
+join_bloom_prefilter) — the properties the oracle hash can't see:
+grid density, zero-bucket presence, positional consistency, and the
+semi-join reduction actually avoiding a fact-side shuffle."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_resample_grid_is_dense_and_filled(spark, queries):
+    df = queries["ts_resample_fill"](spark, SF_SMOKE).cache()
+    try:
+        # no gaps survive the fill: grid starts at each user's first
+        # observed hour, so every row must carry a value
+        assert df.filter(F.col("value_ffill").isNull()).count() == 0
+        # density: per user, rows == (max-min hours)+1, no dup hours
+        per = df.groupBy("user_id").agg(
+            F.count("*").alias("n"),
+            F.count_distinct("grid_ms").alias("nd"),
+            ((F.max("grid_ms") - F.min("grid_ms")) / 3_600_000 + 1)
+            .cast("long")
+            .alias("want"),
+        )
+        assert per.filter("n != want OR nd != n").count() == 0
+    finally:
+        df.unpersist()
+
+
+def test_histogram_is_dense_and_conserves_mass(spark, queries):
+    from census_postgres_py_spark.tables import t
+
+    rows = queries["agg_histogram"](spark, SF_SMOKE).collect()
+    types = {r["event_type"] for r in rows}
+    # dense: every type has exactly 20 buckets, zeros included
+    assert all(
+        sum(1 for r in rows if r["event_type"] == ty) == 20 for ty in types
+    )
+    assert sum(r["n"] for r in rows) == t(spark, SF_SMOKE, "events").count()
+
+
+def test_nested_explode_round_trips_every_row(spark, queries):
+    from census_postgres_py_spark.tables import t
+
+    df = queries["fn_nested_explode"](spark, SF_SMOKE)
+    li = t(spark, SF_SMOKE, "lineitem")
+    assert df.count() == li.count()
+    # positions are consecutive 0..n-1 within each order
+    per = df.groupBy("l_orderkey").agg(
+        F.count("*").alias("n"), F.max("pos").alias("mx")
+    )
+    assert per.filter("mx != n - 1").count() == 0
+
+
+def test_bloom_prefilter_never_shuffles_the_fact_side(spark, queries):
+    plan = _plan(queries["join_bloom_prefilter"](spark, SF_SMOKE))
+    # both the bloom probe and the exact join are broadcast-side;
+    # a SortMergeJoin would mean the full fact table shuffled anyway
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan

@@ -21,12 +21,13 @@ SURVEY_IDS = {
     "join_left_outer", "join_semi", "join_anti", "join_theta_range",
     "join_asof", "join_similarity_topk", "join_similarity_ivf",
     "join_copartitioned", "join_null_safe", "join_partition_pruned",
+    "join_bloom_prefilter",
     # §2.4 aggregation
     "agg_hash", "agg_distinct", "agg_approx_distinct", "agg_percentile",
     "agg_rollup", "agg_cube", "agg_grouping_sets", "agg_collect",
     "agg_filtered", "pivot_wide", "unpivot_long", "agg_skew_salted",
     "agg_hll_mergeable", "agg_bitmap_distinct", "agg_tdigest",
-    "agg_profile_summary",
+    "agg_profile_summary", "agg_histogram", "ts_resample_fill",
     # §2.5 windows
     "win_rank", "win_topk_group", "win_lag_lead", "win_running",
     "win_range_frame", "win_funnel_steps", "win_gap_islands",
@@ -35,7 +36,7 @@ SURVEY_IDS = {
     "dedup_exact", "dedup_minhash",
     # §2.7 scalar function families
     "fn_string", "fn_date", "fn_math", "fn_array", "fn_json", "fn_map",
-    "fn_text_analysis",
+    "fn_text_analysis", "fn_nested_explode",
     # §2.8 streaming
     "stream_tumbling", "stream_sliding", "stream_session",
     "stream_watermark", "stream_dedup_state", "stream_foreachbatch_jdbc",
