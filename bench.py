@@ -55,6 +55,10 @@ HEADLINE = [
     "agg_bitmap_distinct",
     "join_partition_pruned",
     "udf_map_in_arrow",
+    "ts_resample_fill",
+    "agg_histogram",
+    "fn_nested_explode",
+    "join_bloom_prefilter",
 ]
 
 
