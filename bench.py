@@ -59,6 +59,8 @@ HEADLINE = [
     "agg_histogram",
     "fn_nested_explode",
     "join_bloom_prefilter",
+    "win_running_distinct",
+    "dedup_keep_best",
 ]
 
 

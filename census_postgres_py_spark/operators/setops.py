@@ -181,3 +181,46 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag")
         .agg(F.count("*").alias("n"), F.round(F.sum("l_quantity"), 2).alias("qty"))
     )
+
+
+@register(
+    "dedup_keep_best",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+    FROM (
+        SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+               row_number() OVER (
+                   PARTITION BY l_orderkey, l_linenumber
+                   ORDER BY l_quantity DESC, l_extendedprice DESC) AS rn
+        FROM lineitem
+    ) WHERE rn = 1
+    """,
+)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-best dedup: one survivor per duplicate key, chosen by an
+    explicit quality order — the production dedup shape (dedup_exact's
+    keep-ANY is only safe when duplicates are byte-identical).
+
+    The fixture's lineitem has ~12k duplicate (orderkey, linenumber)
+    groups, so this genuinely drops rows. row_number over the quality
+    order + rn=1 filter is one shuffle and Spark rewrites it to a
+    WindowGroupLimit (top-1 per group pushed before the full sort
+    materializes). The ORDER BY covers every exported column, so any
+    remaining ties are byte-identical rows and the survivor multiset
+    is deterministic — re-runnable at 100 TB.
+    """
+    li = t(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_orderkey", "l_linenumber").orderBy(
+        F.col("l_quantity").desc(), F.col("l_extendedprice").desc()
+    )
+    return (
+        li.select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_quantity",
+            "l_extendedprice",
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )

@@ -341,3 +341,59 @@ def win_ntile_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percent_rank().over(w).alias("pct_rank"),
         F.cume_dist().over(w).alias("cume"),
     )
+
+
+@register(
+    "win_running_distinct",
+    oracle="""
+    SELECT user_id, event_id, epoch_ms(ts) AS ts_ms,
+           CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS distinct_types_to_date
+    FROM (
+        SELECT user_id, event_id, ts,
+               row_number() OVER (PARTITION BY user_id, event_type
+                                  ORDER BY ts, event_id) AS rn
+        FROM events
+    )
+    """,
+)
+def win_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running COUNT(DISTINCT) per user — "how many distinct event
+    types has this user touched as of each event" — which no engine's
+    window frames support directly.
+
+    The scalable idiom: a first-occurrence flag (row_number == 1 within
+    (user, type)) turns the distinct count into a running SUM of a
+    0/1 column — O(1) state per row, streamed. The naive alternative,
+    `size(collect_set() over ...)`, re-materializes the set per row and
+    is O(k) memory x rows; at 100 TB it OOMs on any high-cardinality
+    user. Two shuffles (the two window keys), both on user-prefixed
+    keys.
+    """
+    ev = t(spark, sf_dir, "events")
+    w_first = Window.partitionBy("user_id", "event_type").orderBy(
+        "ts", "event_id"
+    )
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        ev.select(
+            "user_id",
+            "event_id",
+            "ts",
+            (F.row_number().over(w_first) == 1).cast("int").alias("first"),
+        )
+        .select(
+            "user_id",
+            "event_id",
+            F.unix_millis("ts").alias("ts_ms"),
+            F.sum("first").over(w_run).cast("long").alias(
+                "distinct_types_to_date"
+            ),
+        )
+    )

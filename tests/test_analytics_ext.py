@@ -65,3 +65,39 @@ def test_bloom_prefilter_never_shuffles_the_fact_side(spark, queries):
     # a SortMergeJoin would mean the full fact table shuffled anyway
     assert "SortMergeJoin" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_running_distinct_is_monotone_and_bounded(spark, queries):
+    df = queries["win_running_distinct"](spark, SF_SMOKE)
+    per = df.groupBy("user_id").agg(
+        F.max("distinct_types_to_date").alias("mx")
+    )
+    # bounded by the number of event types (5 in the fixture)
+    assert per.filter("mx > 5 OR mx < 1").count() == 0
+    # monotone nondecreasing along each user's timeline
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+    lagged = df.withColumn(
+        "prev", F.lag("distinct_types_to_date").over(w)
+    )
+    assert lagged.filter("prev IS NOT NULL AND distinct_types_to_date < prev").count() == 0
+
+
+def test_keep_best_survivors_dominate_their_group(spark, queries):
+    from census_postgres_py_spark.tables import t
+
+    best = queries["dedup_keep_best"](spark, SF_SMOKE)
+    li = t(spark, SF_SMOKE, "lineitem")
+    # one survivor per duplicate key
+    assert (
+        best.groupBy("l_orderkey", "l_linenumber").count().filter("count > 1").count()
+        == 0
+    )
+    assert best.count() == li.select("l_orderkey", "l_linenumber").distinct().count()
+    # the survivor carries its group's max quantity
+    mx = li.groupBy("l_orderkey", "l_linenumber").agg(
+        F.max("l_quantity").alias("want")
+    )
+    joined = best.join(mx, ["l_orderkey", "l_linenumber"])
+    assert joined.filter("l_quantity != want").count() == 0

@@ -31,9 +31,10 @@ SURVEY_IDS = {
     # §2.5 windows
     "win_rank", "win_topk_group", "win_lag_lead", "win_running",
     "win_range_frame", "win_funnel_steps", "win_gap_islands",
+    "win_running_distinct",
     # §2.6 sort / set ops / dedup
     "sort_limit", "union_all", "set_intersect", "set_except",
-    "dedup_exact", "dedup_minhash",
+    "dedup_exact", "dedup_minhash", "dedup_keep_best",
     # §2.7 scalar function families
     "fn_string", "fn_date", "fn_math", "fn_array", "fn_json", "fn_map",
     "fn_text_analysis", "fn_nested_explode",
