@@ -61,6 +61,8 @@ HEADLINE = [
     "join_bloom_prefilter",
     "win_running_distinct",
     "dedup_keep_best",
+    "sink_compact_files",
+    "stream_incremental_availablenow",
 ]
 
 

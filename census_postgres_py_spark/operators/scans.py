@@ -374,3 +374,81 @@ def scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.orc(path).select(
         "c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"
     )
+
+
+@register(
+    "scan_merge_schema",
+    oracle="""
+    SELECT o_orderkey, o_totalprice,
+           CAST(NULL AS VARCHAR) AS o_orderpriority
+    FROM orders WHERE o_orderkey % 2 = 0
+    UNION ALL
+    SELECT o_orderkey, o_totalprice, o_orderpriority
+    FROM orders WHERE o_orderkey % 2 = 1
+    """,
+)
+def scan_merge_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution scan: one directory holding parquet files
+    written before AND after a column was added, read as one table
+    with `mergeSchema` — missing columns NULL-padded.
+
+    Every long-lived 100 TB estate has this shape (producers upgrade
+    at different times; nobody rewrites history). mergeSchema pays a
+    footer read per file at planning — on a real deployment the merged
+    schema comes from the table catalog instead — but the scan itself
+    stays one pass with pushdown intact.
+    """
+    path = _scratch(f"orders_evo_{os.path.basename(sf_dir)}")
+    o = t(spark, sf_dir, "orders")
+    if not os.path.exists(os.path.join(path, "_SUCCESS_V2")):
+        v1 = o.filter(F.col("o_orderkey") % 2 == 0).select(
+            "o_orderkey", "o_totalprice"
+        )
+        v1.write.mode("overwrite").parquet(path)
+        v2 = o.filter(F.col("o_orderkey") % 2 == 1).select(
+            "o_orderkey", "o_totalprice", "o_orderpriority"
+        )
+        v2.write.mode("append").parquet(path)
+        open(os.path.join(path, "_SUCCESS_V2"), "w").close()
+    return (
+        spark.read.option("mergeSchema", "true")
+        .parquet(path)
+        .select("o_orderkey", "o_totalprice", "o_orderpriority")
+    )
+
+
+@register(
+    "sink_compact_files",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+    FROM lineitem
+    """,
+)
+def sink_compact_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction — the maintenance job every parquet lake
+    runs: rewrite a directory fragmented into many tiny files (here 64,
+    simulating per-micro-batch appends) into few right-sized ones.
+
+    Target file count = total bytes / 128 MB (min 1), the same rule a
+    table-format OPTIMIZE applies. `repartition(n)` (round-robin, not
+    coalesce) rebalances evenly so compacted files come out uniform —
+    `coalesce` would glue adjacent small files and preserve skew.
+    Row-identity with the source table (the oracle) proves the rewrite
+    is lossless.
+    """
+    cols = ["l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"]
+    frag = _scratch(f"li_frag_{os.path.basename(sf_dir)}")
+    li = t(spark, sf_dir, "lineitem").select(*cols)
+    if not os.path.exists(os.path.join(frag, "_SUCCESS")):
+        li.repartition(64).write.mode("overwrite").parquet(frag)
+    total = sum(
+        os.path.getsize(os.path.join(frag, f))
+        for f in os.listdir(frag)
+        if f.endswith(".parquet")
+    )
+    n_out = max(1, total // (128 * 1024 * 1024))
+    compact = _scratch(f"li_compact_{os.path.basename(sf_dir)}")
+    spark.read.parquet(frag).repartition(int(n_out)).write.mode(
+        "overwrite"
+    ).parquet(compact)
+    return spark.read.parquet(compact).select(*cols)

@@ -435,3 +435,69 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _run_to_memory(agg, "complete")
+
+
+@register(
+    "stream_incremental_availablenow",
+    oracle="""
+    SELECT event_id, event_type, value
+    FROM events WHERE value > 250.0
+    """,
+)
+def stream_incremental_availablenow(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental batch via Trigger.AvailableNow — the "process only
+    what's new, then stop" pattern that replaces cron-driven
+    reprocessing jobs at scale.
+
+    Two triggered runs over a landing directory: run 1 sees the
+    even-keyed half of events, run 2 runs after the odd half lands and
+    — because the checkpoint remembers consumed files — processes ONLY
+    the delta, appending to the same parquet sink. The final sink
+    therefore equals the plain batch filter over ALL events (the
+    oracle): incremental processing changed the cost, not the answer.
+    On a cluster this exact job shape (AvailableNow + checkpoint +
+    append sink) is the idempotent nightly refresh; re-running it with
+    nothing new to consume is a no-op, which re-invocations of this
+    operator also exercise.
+    """
+    base = os.path.basename(sf_dir)
+    src = _scratch(f"incr_src_{base}")
+    ckpt = _scratch(f"incr_ckpt_{base}")
+    out = _scratch(f"incr_out_{base}")
+    ev = t(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+
+    def run_once() -> None:
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .parquet(src)
+            .filter(F.col("value") > 250.0)
+        )
+        q = (
+            stream.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    phase1 = os.path.join(src, "_PHASE1")
+    phase2 = os.path.join(src, "_PHASE2")
+    if not os.path.exists(phase1):
+        ev.filter(F.col("event_id") % 2 == 0).write.mode(
+            "overwrite"
+        ).parquet(src)
+        open(phase1, "w").close()
+    run_once()
+    if not os.path.exists(phase2):
+        ev.filter(F.col("event_id") % 2 == 1).write.mode("append").parquet(
+            src
+        )
+        open(phase2, "w").close()
+    run_once()
+    return spark.read.parquet(out)

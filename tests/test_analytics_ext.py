@@ -101,3 +101,29 @@ def test_keep_best_survivors_dominate_their_group(spark, queries):
     )
     joined = best.join(mx, ["l_orderkey", "l_linenumber"])
     assert joined.filter("l_quantity != want").count() == 0
+
+
+def test_compaction_reduces_file_count_losslessly(spark, queries):
+    import os
+    import tempfile
+
+    queries["sink_compact_files"](spark, SF_SMOKE).count()
+    scratch = os.path.join(tempfile.gettempdir(), "cppys_scratch")
+    frag = os.path.join(scratch, "li_frag_sf0.001")
+    compact = os.path.join(scratch, "li_compact_sf0.001")
+    n = lambda d: sum(1 for f in os.listdir(d) if f.endswith(".parquet"))
+    assert n(frag) == 64
+    assert n(compact) < 8  # 6k rows is well under one 128 MB target file
+
+
+def test_incremental_availablenow_is_idempotent(spark, queries):
+    a = queries["stream_incremental_availablenow"](spark, SF_SMOKE).count()
+    # re-running with nothing new to consume must be a no-op
+    b = queries["stream_incremental_availablenow"](spark, SF_SMOKE).count()
+    assert a == b
+
+
+def test_merge_schema_null_pads_old_files(spark, queries):
+    df = queries["scan_merge_schema"](spark, SF_SMOKE)
+    nulls = df.filter(F.col("o_orderpriority").isNull()).count()
+    assert 0 < nulls < df.count()

@@ -11,7 +11,7 @@ from tests.conftest import SF_SMOKE
 SURVEY_IDS = {
     # §2.1 scans / sources / sinks
     "scan_parquet", "scan_csv_schema", "scan_fixed_width", "scan_jsonl",
-    "scan_orc",
+    "scan_orc", "scan_merge_schema", "sink_compact_files",
     "sink_parquet", "sink_jdbc", "schema_from_metadata", "pipeline_acs_e2e",
     # §2.2 transforms
     "project_rename", "filter_pred", "filter_in_set", "null_normalize",
@@ -42,7 +42,7 @@ SURVEY_IDS = {
     "stream_tumbling", "stream_sliding", "stream_session",
     "stream_watermark", "stream_dedup_state", "stream_foreachbatch_jdbc",
     "stream_custom_state", "stream_static_join", "stream_stream_join",
-    "stream_stream_left_outer",
+    "stream_stream_left_outer", "stream_incremental_availablenow",
     # §2.9 UDF surface
     "udf_pandas_scalar", "udf_grouped_agg", "udf_grouped_map",
     "udf_cogrouped_map", "udf_map_in_arrow",
