@@ -127,3 +127,19 @@ def test_merge_schema_null_pads_old_files(spark, queries):
     df = queries["scan_merge_schema"](spark, SF_SMOKE)
     nulls = df.filter(F.col("o_orderpriority").isNull()).count()
     assert 0 < nulls < df.count()
+
+
+def test_new_op_plan_shapes(spark, queries):
+    """Pin the physical shapes the docstrings promise: top-1-per-group
+    runs as WindowGroupLimit, the histogram count is map-side partial
+    with a broadcast dense-frame join, and the resample join is keyed
+    (no nested-loop/cartesian fallback)."""
+    p = _plan(queries["dedup_keep_best"](spark, SF_SMOKE))
+    assert "WindowGroupLimit" in p
+    p = _plan(queries["agg_histogram"](spark, SF_SMOKE))
+    assert "partial_count" in p and "BroadcastHashJoin" in p
+    p = _plan(queries["ts_resample_fill"](spark, SF_SMOKE))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    # two window keys -> exactly two exchanges, none extra
+    assert _plan(queries["win_running_distinct"](spark, SF_SMOKE)).count("Exchange") == 2
