@@ -63,6 +63,7 @@ HEADLINE = [
     "dedup_keep_best",
     "sink_compact_files",
     "stream_incremental_availablenow",
+    "ts_anomaly_mad",
 ]
 
 

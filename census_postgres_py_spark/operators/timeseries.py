@@ -88,3 +88,47 @@ def ts_resample_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_millis("grid_ts").alias("grid_ms"),
         F.last("v", ignorenulls=True).over(w).alias("value_ffill"),
     )
+
+
+@register(
+    "ts_anomaly_mad",
+    oracle="""
+    WITH med AS (
+        SELECT user_id, median(value) AS med FROM events GROUP BY 1
+    ), stats AS (
+        SELECT e.user_id, median(abs(e.value - m.med)) AS mad,
+               min(m.med) AS med
+        FROM events e JOIN med m USING (user_id) GROUP BY 1
+    )
+    SELECT e.user_id, e.event_id, e.value
+    FROM events e JOIN stats s USING (user_id)
+    WHERE abs(e.value - s.med) > 3 * s.mad
+    """,
+)
+def ts_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-entity anomaly detection: flag events whose value
+    deviates from the user's median by more than 3x the median
+    absolute deviation. MAD is the robust alternative to z-scores
+    (udf_grouped_map's demo) — a user's own outliers can't inflate the
+    threshold the way they inflate a stddev.
+
+    Two grouped exact medians and two joins, every stage keyed on
+    user_id so the shuffles co-locate (at 100 TB swap `median` for
+    `percentile_approx` — one-pass, mergeable partials — and the
+    per-user stats frame stays 1 row/user, tiny next to the scan).
+    Exact interpolated medians are IEEE-deterministic on both engines,
+    so the 3xMAD threshold compares identically.
+    """
+    ev = t(spark, sf_dir, "events").select("user_id", "event_id", "value")
+    med = ev.groupBy("user_id").agg(F.median("value").alias("med"))
+    dev = ev.join(med, "user_id").withColumn(
+        "adev", F.abs(F.col("value") - F.col("med"))
+    )
+    stats = dev.groupBy("user_id").agg(
+        F.median("adev").alias("mad"), F.min("med").alias("med")
+    )
+    return (
+        ev.join(stats, "user_id")
+        .filter(F.abs(F.col("value") - F.col("med")) > 3 * F.col("mad"))
+        .select("user_id", "event_id", "value")
+    )

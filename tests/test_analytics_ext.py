@@ -143,3 +143,23 @@ def test_new_op_plan_shapes(spark, queries):
     assert "BroadcastNestedLoopJoin" not in p
     # two window keys -> exactly two exchanges, none extra
     assert _plan(queries["win_running_distinct"](spark, SF_SMOKE)).count("Exchange") == 2
+
+
+def test_mad_anomalies_are_extreme_within_their_user(spark, queries):
+    from census_postgres_py_spark.tables import t
+
+    flagged = queries["ts_anomaly_mad"](spark, SF_SMOKE)
+    ev = t(spark, SF_SMOKE, "events")
+    # anomalies are a small minority, and every flagged value sits
+    # outside its user's central band (between that user's p25..p75)
+    assert 0 < flagged.count() < ev.count() * 0.25
+    bands = ev.groupBy("user_id").agg(
+        F.percentile("value", 0.25).alias("q1"),
+        F.percentile("value", 0.75).alias("q3"),
+    )
+    inside = (
+        flagged.join(bands, "user_id")
+        .filter("value >= q1 AND value <= q3")
+        .count()
+    )
+    assert inside == 0

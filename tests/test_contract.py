@@ -28,6 +28,7 @@ SURVEY_IDS = {
     "agg_filtered", "pivot_wide", "unpivot_long", "agg_skew_salted",
     "agg_hll_mergeable", "agg_bitmap_distinct", "agg_tdigest",
     "agg_profile_summary", "agg_histogram", "ts_resample_fill",
+    "ts_anomaly_mad",
     # §2.5 windows
     "win_rank", "win_topk_group", "win_lag_lead", "win_running",
     "win_range_frame", "win_funnel_steps", "win_gap_islands",
