@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from census_postgres_py_spark.functions.text import (
     drop_last_tokens,
@@ -630,5 +631,82 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             "b_id",
             F.col("common").cast("long").alias("common"),
             F.round(cont, 4).alias("containment"),
+        )
+    )
+
+
+_E2E_SURVIVOR_TAIL = """
+    , clusters AS (
+        SELECT doc_id, CAST(min(label) AS BIGINT) AS cluster_id
+        FROM cc GROUP BY doc_id
+    ), ranked AS (
+        SELECT c.cluster_id, c.doc_id, ns.n_sh,
+               row_number() OVER (PARTITION BY c.cluster_id
+                                  ORDER BY ns.n_sh DESC, c.doc_id) AS rn,
+               count(*) OVER (PARTITION BY c.cluster_id) AS n_docs
+        FROM clusters c JOIN ns ON ns.doc_id = c.doc_id
+    )
+    SELECT cluster_id, CAST(doc_id AS BIGINT) AS survivor_id,
+           CAST(n_docs AS BIGINT) AS n_docs
+    FROM ranked WHERE rn = 1
+"""
+
+_ORACLE_DEDUP_E2E = _ORACLE_CC.replace(
+    """SELECT doc_id, CAST(min(label) AS BIGINT) AS cluster_id
+    FROM cc GROUP BY doc_id""",
+    _E2E_SURVIVOR_TAIL,
+)
+assert _ORACLE_DEDUP_E2E != _ORACLE_CC  # the tail swap must have landed
+
+
+@register("pipeline_dedup_e2e", oracle=_ORACLE_DEDUP_E2E)
+def pipeline_dedup_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed corpus-dedup lifecycle — candidate pairs → exact
+    verify → connected components → ONE survivor per cluster — i.e.
+    what dedup_* stages do separately, run end-to-end the way a
+    training-data refresh actually runs them.
+
+    Cluster assignment comes from dedup_clusters_cc (inverted-index
+    candidates, exact Jaccard >= 0.5, iterative min-label CC); the
+    survivor policy is keep-the-richest: most shingles wins, doc_id
+    breaks ties (dedup_keep_best's shape applied to near-dup clusters).
+    Output is one row per cluster with its survivor and size, so the
+    dedup rate is directly visible. Every stage is keyed — inverted
+    index on shingle, CC on doc ids, survivor window on cluster_id —
+    no stage is all-pairs, which is what lets the same dataflow run at
+    corpus scale.
+    """
+    clusters = dedup_clusters_cc(spark, sf_dir)
+    docs = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 200)
+        .select("doc_id", "text")
+    )
+    corpus = docs
+    for gen, k in ((1, 2), (2, 4)):
+        corpus = corpus.unionByName(
+            docs.select(
+                (F.col("doc_id") + gen * DUP_OFFSET).alias("doc_id"),
+                drop_last_tokens("text", k).alias("text"),
+            )
+        )
+    sizes = _shingled(corpus).select("doc_id", "n_sh")
+    joined = clusters.join(sizes, "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("n_sh").desc(), F.col("doc_id")
+    )
+    wc = Window.partitionBy("cluster_id")
+    return (
+        joined.select(
+            "cluster_id",
+            "doc_id",
+            F.row_number().over(w).alias("rn"),
+            F.count("*").over(wc).cast("long").alias("n_docs"),
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            "cluster_id",
+            F.col("doc_id").cast("long").alias("survivor_id"),
+            "n_docs",
         )
     )

@@ -163,3 +163,21 @@ def test_mad_anomalies_are_extreme_within_their_user(spark, queries):
         .count()
     )
     assert inside == 0
+
+
+def test_dedup_e2e_partitions_the_corpus(spark, queries):
+    from census_postgres_py_spark.tables import t
+
+    rows = queries["pipeline_dedup_e2e"](spark, SF_SMOKE).collect()
+    # clusters partition the 3-generation corpus: sizes sum to 3 x docs
+    n_base = (
+        t(spark, SF_SMOKE, "documents").filter("doc_id < 200").count()
+    )
+    assert sum(r["n_docs"] for r in rows) == 3 * n_base
+    survivors = [r["survivor_id"] for r in rows]
+    assert len(survivors) == len(set(survivors))
+    # survivor is the richest member: originals (doc_id < 1e6) must win
+    # every multi-doc cluster, since mutations only ever drop tokens
+    multi = [r for r in rows if r["n_docs"] > 1]
+    assert multi, "fixture must produce multi-doc clusters"
+    assert all(r["survivor_id"] < 1_000_000 for r in multi)
