@@ -64,6 +64,8 @@ HEADLINE = [
     "sink_compact_files",
     "stream_incremental_availablenow",
     "ts_anomaly_mad",
+    "agg_argmax",
+    "udf_pandas_iter",
 ]
 
 

@@ -665,3 +665,43 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n"),
         )
     )
+
+
+@register(
+    "agg_argmax",
+    oracle="""
+    SELECT o_custkey, best_orderkey, best_price
+    FROM (
+        SELECT o_custkey, o_orderkey AS best_orderkey,
+               o_totalprice AS best_price,
+               row_number() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_totalprice DESC,
+                                           o_orderkey DESC) AS rn
+        FROM orders
+    ) WHERE rn = 1
+    """,
+)
+def agg_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Argmax as ONE map-side-combinable aggregate: the customer's
+    most expensive order via `max(struct(price, orderkey))` — struct
+    comparison is lexicographic, so the orderkey rides along and also
+    breaks price ties deterministically.
+
+    This is the scale-path contrast to win_topk_group: the window
+    needs a full shuffle + per-partition SORT of every row; the struct
+    max carries ONE row of state per group through partial aggregation
+    — at 100 TB that's the difference between sorting the fact table
+    and a combiner. (The oracle uses the window form on purpose: two
+    different algorithms, same answer.)
+    """
+    o = t(spark, sf_dir, "orders")
+    best = F.max(F.struct("o_totalprice", "o_orderkey")).alias("best")
+    return (
+        o.groupBy("o_custkey")
+        .agg(best)
+        .select(
+            "o_custkey",
+            F.col("best.o_orderkey").alias("best_orderkey"),
+            F.col("best.o_totalprice").alias("best_price"),
+        )
+    )

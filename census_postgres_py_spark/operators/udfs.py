@@ -9,6 +9,8 @@ pure-SQL semantics (self-differential testing, SURVEY.md §5.2).
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -218,4 +220,40 @@ def udf_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.mapInArrow(
         charge_batches,
         "l_orderkey long, l_linenumber int, charge double",
+    )
+
+
+@F.pandas_udf(DoubleType())
+def _norm_score_iter(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+    """Iterator-form scalar Pandas UDF: the 'expensive init' slot runs
+    ONCE per partition (here a stand-in normalization table; in a real
+    LLM pipeline, a tokenizer or ONNX session), then every Arrow batch
+    streams through it. The plain scalar form would re-enter Python
+    with no place to hoist the init."""
+    norm_table = {c: float(i) for i, c in enumerate("ABCDEFGHIJ")}  # "model"
+    for prices in batches:
+        yield prices / 100.0 + norm_table["B"]
+
+
+@register(
+    "udf_pandas_iter",
+    oracle="""
+    SELECT o_orderkey,
+           floor((o_totalprice / 100.0 + 1.0) * 100 + 0.5) / 100 AS score
+    FROM orders
+    """,
+)
+def udf_pandas_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterator-of-Series Pandas UDF — the per-partition-init surface
+    (SPARK-26412): amortizes loading a model/tokenizer across all of a
+    partition's Arrow batches instead of paying it per batch. The
+    arithmetic is trivial on purpose; the oracle is its native twin,
+    so the check proves the iterator plumbing is value-transparent.
+    """
+    o = t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        (F.floor(_norm_score_iter("o_totalprice") * 100 + F.lit(0.5)) / 100).alias(
+            "score"
+        ),
     )

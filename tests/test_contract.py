@@ -27,7 +27,7 @@ SURVEY_IDS = {
     "agg_rollup", "agg_cube", "agg_grouping_sets", "agg_collect",
     "agg_filtered", "pivot_wide", "unpivot_long", "agg_skew_salted",
     "agg_hll_mergeable", "agg_bitmap_distinct", "agg_tdigest",
-    "agg_profile_summary", "agg_histogram", "ts_resample_fill",
+    "agg_profile_summary", "agg_histogram", "ts_resample_fill", "agg_argmax",
     "ts_anomaly_mad",
     # §2.5 windows
     "win_rank", "win_topk_group", "win_lag_lead", "win_running",
@@ -45,7 +45,7 @@ SURVEY_IDS = {
     "stream_custom_state", "stream_static_join", "stream_stream_join",
     "stream_stream_left_outer", "stream_incremental_availablenow",
     # §2.9 UDF surface
-    "udf_pandas_scalar", "udf_grouped_agg", "udf_grouped_map",
+    "udf_pandas_scalar", "udf_grouped_agg", "udf_grouped_map", "udf_pandas_iter",
     "udf_cogrouped_map", "udf_map_in_arrow",
     # §2.10 LLM-pipeline extensions
     "dedup_ngram_jaccard", "dedup_simhash", "dedup_embedding_cosine",
