@@ -66,6 +66,8 @@ HEADLINE = [
     "ts_anomaly_mad",
     "agg_argmax",
     "udf_pandas_iter",
+    "fn_variant_json",
+    "fn_xml_parse",
 ]
 
 

@@ -269,3 +269,60 @@ def fn_nested_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("line.l_linenumber").alias("l_linenumber"),
         F.col("line.l_quantity").alias("l_quantity"),
     )
+
+
+@register(
+    "fn_variant_json",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+    FROM events
+    """,
+)
+def fn_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured access via Spark 4's VARIANT type: `parse_json`
+    once into a binary-encoded variant, then typed `variant_get` path
+    extraction — the open-lakehouse answer to "JSON strings re-parsed
+    by every query". At 100 TB the variant parse happens once at ingest
+    and lands in parquet; every downstream extraction is a binary path
+    walk, not a string re-parse (fn_json keeps the classic
+    get_json_object path for comparison).
+    """
+    ev = t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.variant_get(F.parse_json("props"), "$.k", "long").alias("k"),
+    )
+
+
+@register(
+    "fn_xml_parse",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_totalprice
+    FROM orders
+    """,
+)
+def fn_xml_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native XML parsing (Spark 4 `from_xml`): render each order as an
+    XML record and parse it back with an explicit schema — the
+    feed-ingestion shape for the XML half of enterprise data exchange
+    (the scan side of spark-xml, expression-level). Values are chosen
+    XML-safe (keys, single-char status, numeric price); hash-equality
+    with the source row (the oracle) proves the round trip is lossless
+    including the double.
+    """
+    o = t(spark, sf_dir, "orders")
+    xml = F.concat(
+        F.lit("<o><k>"), F.col("o_orderkey").cast("string"),
+        F.lit("</k><s>"), F.col("o_orderstatus"),
+        F.lit("</s><p>"), F.col("o_totalprice").cast("string"),
+        F.lit("</p></o>"),
+    )
+    parsed = o.select(
+        F.from_xml(xml, "k BIGINT, s STRING, p DOUBLE").alias("r")
+    )
+    return parsed.select(
+        F.col("r.k").alias("o_orderkey"),
+        F.col("r.s").alias("o_orderstatus"),
+        F.col("r.p").alias("o_totalprice"),
+    )
