@@ -452,3 +452,47 @@ def sink_compact_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         "overwrite"
     ).parquet(compact)
     return spark.read.parquet(compact).select(*cols)
+
+
+@register(
+    "scan_csv_dropmalformed",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+)
+def scan_csv_dropmalformed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-row policy at ingest: a landing CSV polluted with
+    garbage lines (wrong arity, non-numeric keys) read in DROPMALFORMED
+    mode — valid rows parse, junk is discarded, the job does NOT die.
+
+    The ACS analog of jam values one level up: jam handling fixes bad
+    CELLS, the parse mode fixes bad LINES (truncated uploads, header
+    echoes, log noise). PERMISSIVE + `_corrupt_record` is the forensic
+    variant; DROPMALFORMED is the right default for a 100 TB landing
+    zone where one bad file must not kill a 1000-executor job.
+    Hash-equality with the clean source proves nothing valid was
+    dropped and nothing invalid survived.
+    """
+    path = _scratch(f"nation_dirty_csv_{os.path.basename(sf_dir)}")
+    marker = os.path.join(path, "_DONE")
+    nation = t(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    if not os.path.exists(marker):
+        os.makedirs(path, exist_ok=True)
+        rows = nation.collect()  # nation is 25 rows — driver-side render ok
+        with open(os.path.join(path, "part-dirty.csv"), "w") as f:
+            for i, r in enumerate(rows):
+                f.write(f"{r.n_nationkey},{r.n_name},{r.n_regionkey}\n")
+                if i % 7 == 0:  # interleave deterministic junk lines
+                    f.write("GARBAGE LINE WITHOUT COMMAS\n")
+                    f.write("not_a_number,Broken\n")
+        open(marker, "w").close()
+    schema = T.StructType(
+        [
+            T.StructField("n_nationkey", T.IntegerType()),
+            T.StructField("n_name", T.StringType()),
+            T.StructField("n_regionkey", T.IntegerType()),
+        ]
+    )
+    return spark.read.schema(schema).option("mode", "DROPMALFORMED").csv(
+        os.path.join(path, "part-dirty.csv")
+    )
