@@ -46,6 +46,7 @@ SURVEY_IDS = {
     "stream_stream_left_outer", "stream_incremental_availablenow",
     # §2.9 UDF surface
     "udf_pandas_scalar", "udf_grouped_agg", "udf_grouped_map", "udf_pandas_iter",
+    "udf_window_agg",
     "udf_cogrouped_map", "udf_map_in_arrow",
     # §2.10 LLM-pipeline extensions
     "dedup_ngram_jaccard", "dedup_simhash", "dedup_embedding_cosine",
