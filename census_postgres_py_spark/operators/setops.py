@@ -224,3 +224,53 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .drop("rn")
     )
+
+
+def _orders_year(o: DataFrame, y: int) -> DataFrame:
+    return o.filter(
+        (F.col("o_orderdate") >= F.lit(f"{y}-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(f"{y + 1}-01-01").cast("timestamp"))
+    ).select("o_custkey")
+
+
+@register(
+    "set_except_all",
+    oracle="""
+    SELECT o_custkey FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+      AND o_orderdate <  TIMESTAMP '1996-01-01'
+    EXCEPT ALL
+    SELECT o_custkey FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1997-01-01'
+    """,
+)
+def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset difference (EXCEPT ALL): each customer keeps
+    max(0, n_1995 - n_1996) copies — "how many MORE orders than last
+    year", which set-EXCEPT (set_except) can't express. The round-1
+    bug was using this where set semantics were wanted; both now exist
+    as first-class operators with their exact SQL twins. Spark plans
+    it as one hash aggregation on counts, not a sort."""
+    o = t(spark, sf_dir, "orders").select("o_custkey", "o_orderdate")
+    return _orders_year(o, 1995).exceptAll(_orders_year(o, 1996))
+
+
+@register(
+    "set_intersect_all",
+    oracle="""
+    SELECT o_custkey FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+      AND o_orderdate <  TIMESTAMP '1996-01-01'
+    INTERSECT ALL
+    SELECT o_custkey FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1997-01-01'
+    """,
+)
+def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset intersection (INTERSECT ALL): min(n_1995, n_1996)
+    copies per customer — the "matched activity volume" twin of
+    set_intersect's membership test."""
+    o = t(spark, sf_dir, "orders").select("o_custkey", "o_orderdate")
+    return _orders_year(o, 1995).intersectAll(_orders_year(o, 1996))

@@ -35,6 +35,7 @@ SURVEY_IDS = {
     "win_running_distinct",
     # §2.6 sort / set ops / dedup
     "sort_limit", "union_all", "set_intersect", "set_except",
+    "set_except_all", "set_intersect_all",
     "dedup_exact", "dedup_minhash", "dedup_keep_best",
     # §2.7 scalar function families
     "fn_string", "fn_date", "fn_math", "fn_array", "fn_json", "fn_map",
