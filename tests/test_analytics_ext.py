@@ -11,8 +11,7 @@ from pyspark.sql import functions as F
 from tests.conftest import SF_SMOKE
 
 
-def _plan(df) -> str:
-    return df._jdf.queryExecution().executedPlan().toString()
+from census_postgres_py_spark.plans import executed_plan as _plan
 
 
 def test_resample_grid_is_dense_and_filled(spark, queries):

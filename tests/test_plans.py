@@ -11,12 +11,10 @@ import pytest
 from tests.conftest import SF_SMOKE
 
 
-def _plan(df) -> str:
-    return df._jdf.queryExecution().executedPlan().toString()
-
-
-def _optimized(df) -> str:
-    return df._jdf.queryExecution().optimizedPlan().toString()
+from census_postgres_py_spark.plans import (
+    executed_plan as _plan,
+    optimized_plan as _optimized,
+)
 
 
 def test_filter_pred_pushes_down_to_scan(spark, queries):
