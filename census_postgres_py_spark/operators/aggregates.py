@@ -705,3 +705,50 @@ def agg_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("best.o_totalprice").alias("best_price"),
         )
     )
+
+
+@register(
+    "agg_observe_metrics",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(*) - count(l_discount) AS BIGINT) AS n_null_disc,
+           floor(sum(l_extendedprice) * 100 + 0.5) / 100 AS sum_price
+    FROM lineitem WHERE l_quantity >= 25
+    """,
+)
+def agg_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass pipeline metrics via `df.observe()` — data-quality
+    counters collected DURING the job's own action, not by a second
+    scan (the Spark-native form of the reference's post-load
+    validation counts [PK]; same machinery as Delta/DQ expectation
+    frameworks).
+
+    The observed aggregates ride the existing physical plan as an
+    `CollectMetrics` node — zero extra shuffles, zero extra passes; at
+    100 TB a separate validation query would double the scan bill.
+    The driver-side metrics row is re-wrapped as a DataFrame so the
+    oracle can hash-check it against a plain aggregation.
+    """
+    from pyspark.sql import Observation, Row
+
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 25)
+    obs = Observation()
+    observed = li.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("l_discount").isNull().cast("long")).alias("n_null_disc"),
+        (F.floor(F.sum("l_extendedprice") * 100 + F.lit(0.5)) / 100).alias(
+            "sum_price"
+        ),
+    )
+    observed.write.format("noop").mode("overwrite").save()
+    m = obs.get
+    return spark.createDataFrame(
+        [
+            Row(
+                n_rows=int(m["n_rows"]),
+                n_null_disc=int(m["n_null_disc"]),
+                sum_price=float(m["sum_price"]),
+            )
+        ]
+    )

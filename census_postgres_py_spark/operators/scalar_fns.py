@@ -326,3 +326,40 @@ def fn_xml_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("r.s").alias("o_orderstatus"),
         F.col("r.p").alias("o_totalprice"),
     )
+
+
+@register(
+    "fn_try_arith",
+    oracle="""
+    SELECT c_custkey,
+           try_cast(c_name AS BIGINT) AS name_as_int,
+           try_cast(regexp_extract(c_name, '([0-9]+)', 1) AS BIGINT)
+               AS cust_num,
+           CASE WHEN c_nationkey = 0 THEN NULL
+                ELSE floor(c_acctbal / c_nationkey * 10000 + 0.5) / 10000
+           END AS bal_per_nation
+    FROM customer
+    """,
+)
+def fn_try_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe arithmetic (`try_cast` / `try_divide`): malformed
+    input becomes NULL instead of killing the job — jam-value handling
+    generalized to every cast and every division. ANSI mode on a real
+    cluster turns silent garbage into exceptions; the try_* family is
+    how a 100 TB load keeps ANSI strictness AND survives dirty rows.
+    """
+    c = t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.expr("try_cast(c_name AS BIGINT)").alias("name_as_int"),
+        F.expr(
+            "try_cast(regexp_extract(c_name, '([0-9]+)', 1) AS BIGINT)"
+        ).alias("cust_num"),
+        (
+            F.floor(
+                F.try_divide(F.col("c_acctbal"), F.col("c_nationkey")) * 10000
+                + F.lit(0.5)
+            )
+            / 10000
+        ).alias("bal_per_nation"),
+    )

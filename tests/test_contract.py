@@ -28,6 +28,7 @@ SURVEY_IDS = {
     "agg_filtered", "pivot_wide", "unpivot_long", "agg_skew_salted",
     "agg_hll_mergeable", "agg_bitmap_distinct", "agg_tdigest",
     "agg_profile_summary", "agg_histogram", "ts_resample_fill", "agg_argmax",
+    "agg_observe_metrics",
     "ts_anomaly_mad",
     # §2.5 windows
     "win_rank", "win_topk_group", "win_lag_lead", "win_running",
@@ -40,6 +41,7 @@ SURVEY_IDS = {
     # §2.7 scalar function families
     "fn_string", "fn_date", "fn_math", "fn_array", "fn_json", "fn_map",
     "fn_text_analysis", "fn_nested_explode", "fn_variant_json", "fn_xml_parse",
+    "fn_try_arith",
     # §2.8 streaming
     "stream_tumbling", "stream_sliding", "stream_session",
     "stream_watermark", "stream_dedup_state", "stream_foreachbatch_jdbc",
