@@ -96,3 +96,12 @@ def test_oracles_are_sql_strings(oracles):
     assert oracles, "oracle_sql() is empty"
     for qid, sql in oracles.items():
         assert isinstance(sql, str) and "SELECT" in sql.upper(), qid
+
+
+def test_bench_headline_is_a_subset_of_queries(queries):
+    """Every benched query must exist — a renamed operator id would
+    otherwise silently bench as -1 and skew the driver's record."""
+    import bench
+
+    missing = [q for q in bench.HEADLINE if q not in queries]
+    assert not missing, missing
