@@ -752,3 +752,31 @@ def agg_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ]
     )
+
+
+@register(
+    "agg_distinct_multiple",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_cust,
+           CAST(count(DISTINCT year(o_orderdate)) AS BIGINT) AS n_years,
+           CAST(count(*) AS BIGINT) AS n_orders
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def agg_distinct_multiple(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Several COUNT(DISTINCT x) over DIFFERENT columns in one
+    aggregation — Spark plans this with an Expand node (one duplicated
+    input stream per distinct set) feeding a single shuffle, not one
+    job per distinct column. Worth knowing at 100 TB: each extra
+    distinct column multiplies the shuffled volume via Expand, so
+    beyond 2-3 of them, sketches (agg_hll_mergeable) or separate
+    pre-aggregations win.
+    """
+    o = t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("n_cust"),
+        F.countDistinct(F.year("o_orderdate")).alias("n_years"),
+        F.count("*").alias("n_orders"),
+    )

@@ -363,3 +363,36 @@ def fn_try_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 10000
         ).alias("bal_per_nation"),
     )
+
+
+@register(
+    "fn_url_parse",
+    oracle="""
+    SELECT doc_id,
+           source || '.example.com' AS host,
+           '/docs/' || CAST(doc_id AS VARCHAR) AS path,
+           'lang=' || lang AS query,
+           lang AS lang_param
+    FROM documents
+    """,
+)
+def fn_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL decomposition with `parse_url` (HOST / PATH / QUERY /
+    QUERY:key) — the first transform of every web-crawl pipeline
+    (canonicalization, domain-level dedup, robots bucketing). URLs are
+    synthesized from document metadata, so the oracle can state the
+    expected parts by construction — the check proves Spark's parser
+    splits exactly where the spec says.
+    """
+    d = t(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example.com/docs/"),
+        F.col("doc_id").cast("string"), F.lit("?lang="), F.col("lang"),
+    )
+    return d.select(
+        "doc_id",
+        F.parse_url(url, F.lit("HOST")).alias("host"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+        F.parse_url(url, F.lit("QUERY")).alias("query"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("lang")).alias("lang_param"),
+    )

