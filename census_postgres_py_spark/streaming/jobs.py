@@ -22,6 +22,7 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from census_postgres_py_spark.registry import register
 from census_postgres_py_spark.tables import t
@@ -501,3 +502,99 @@ def stream_incremental_availablenow(
         open(phase2, "w").close()
     run_once()
     return spark.read.parquet(out)
+
+
+@register(
+    "pipeline_stream_e2e",
+    oracle=f"""
+    SELECT (epoch_ms(ts) // {HOUR_MS}) * {HOUR_MS} AS hour_ms,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           floor(CAST(sum(CAST(value AS DECIMAL(18,2))
+                           * CAST(CASE event_type
+                                  WHEN 'click' THEN 1.5 WHEN 'view' THEN 1.0
+                                  ELSE 2.0 END AS DECIMAL(4,1))) AS DOUBLE)
+                 * 100 + 0.5) / 100 AS weighted_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def pipeline_stream_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed production streaming job — source → watermark →
+    broadcast static-dim enrichment → tumbling window aggregation →
+    foreachBatch merge into a parquet serving table — i.e. what
+    stream_watermark / stream_static_join / stream_foreachbatch_jdbc
+    demonstrate separately, run as ONE dataflow the way a real
+    pipeline deploys it.
+
+    The merge step upserts each micro-batch's (hour, type) partials
+    into the serving dir (update mode emits refined windows as late
+    data lands; last write per key wins), and the final relation
+    re-reads the served table — so the oracle equality proves the
+    whole chain, including the upsert, equals the batch computation.
+    On a cluster: Kafka source, Delta/JDBC serving table, continuous
+    trigger; identical dataflow.
+    """
+    dim = spark.createDataFrame(
+        [
+            ("click", 1.5),
+            ("view", 1.0),
+            ("purchase", 2.0),
+            ("signup", 2.0),
+            ("error", 2.0),
+        ],
+        ["event_type", "weight"],
+    )
+    out_dir = _scratch(
+        f"pse2e_out_{os.path.basename(sf_dir)}_{uuid.uuid4().hex[:8]}"
+    )
+
+    ev = _events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    enriched = ev.join(F.broadcast(dim), "event_type")
+    windowed = (
+        enriched.groupBy(
+            F.window("ts", "1 hour").alias("w"), "event_type"
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(
+                F.col("value").cast("decimal(18,2)")
+                * F.col("weight").cast("decimal(4,1)")
+            ).alias("wv"),
+        )
+    )
+
+    def merge_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        # last-write-wins upsert: each refined (hour, type) row replaces
+        # the served one; partitioning by epoch keeps appends cheap and
+        # the read side resolves the latest version per key
+        (
+            batch_df.withColumn("epoch", F.lit(epoch_id))
+            .write.mode("append")
+            .parquet(out_dir)
+        )
+
+    q = (
+        windowed.writeStream.outputMode("update")
+        .foreachBatch(merge_batch)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    served = spark.read.parquet(out_dir)
+    latest = Window.partitionBy("w", "event_type").orderBy(F.col("epoch").desc())
+    return (
+        served.withColumn("rn", F.row_number().over(latest))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.unix_millis(F.col("w.start")).alias("hour_ms"),
+            "event_type",
+            F.col("n").cast("long").alias("n"),
+            (
+                F.floor(F.col("wv").cast("double") * 100 + F.lit(0.5)) / 100
+            ).alias("weighted_value"),
+        )
+    )
