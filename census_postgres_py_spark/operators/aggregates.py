@@ -780,3 +780,30 @@ def agg_distinct_multiple(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct(F.year("o_orderdate")).alias("n_years"),
         F.count("*").alias("n_orders"),
     )
+
+
+@register(
+    "agg_bool",
+    oracle="""
+    SELECT o_orderpriority,
+           bool_and(o_totalprice > 1000) AS all_over_1k,
+           bool_or(o_orderstatus = 'F') AS any_finished,
+           CAST(count(*) FILTER (WHERE o_orderstatus = 'O')
+                AS BIGINT) AS n_open
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def agg_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean aggregates (`every`/`some`/`count_if`) — per-group
+    data-quality predicates ("did EVERY row pass", "did ANY fail"),
+    the grouped form of the checks agg_observe_metrics collects
+    globally. All three are map-side combinable single bits/counts of
+    state — the cheapest possible verification pass at 100 TB.
+    """
+    o = t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.every(F.col("o_totalprice") > 1000).alias("all_over_1k"),
+        F.some(F.col("o_orderstatus") == "F").alias("any_finished"),
+        F.count_if(F.col("o_orderstatus") == "O").alias("n_open"),
+    )

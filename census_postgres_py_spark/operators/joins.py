@@ -587,3 +587,41 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "join_lateral_topk",
+    oracle="""
+    SELECT n.n_name, c.c_custkey, c.c_acctbal
+    FROM nation n, LATERAL (
+        SELECT c_custkey, c_acctbal FROM customer
+        WHERE c_nationkey = n.n_nationkey
+        ORDER BY c_acctbal DESC, c_custkey
+        LIMIT 2
+    ) c
+    """,
+)
+def join_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery — "for each nation, its top-2
+    customers by balance" written the way an analyst writes it. Spark
+    SQL supports LATERAL since 3.2; Catalyst DECORRELATES it into the
+    same shuffle + ranked-window plan win_topk_group builds by hand,
+    so the declarative form costs nothing extra at scale — the point
+    of expressing per-row subqueries declaratively instead of
+    driver-side loops. Total tiebreak (c_custkey) keeps the top-2
+    deterministic.
+    """
+    from census_postgres_py_spark.tables import register_views
+
+    register_views(spark, sf_dir, ["nation", "customer"])
+    return spark.sql(
+        """
+        SELECT n.n_name, c.c_custkey, c.c_acctbal
+        FROM nation n, LATERAL (
+            SELECT c_custkey, c_acctbal FROM customer
+            WHERE c_nationkey = n.n_nationkey
+            ORDER BY c_acctbal DESC, c_custkey
+            LIMIT 2
+        ) c
+        """
+    )

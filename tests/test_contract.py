@@ -22,14 +22,14 @@ SURVEY_IDS = {
     "join_left_outer", "join_semi", "join_anti", "join_theta_range",
     "join_asof", "join_similarity_topk", "join_similarity_ivf",
     "join_copartitioned", "join_null_safe", "join_partition_pruned",
-    "join_bloom_prefilter",
+    "join_bloom_prefilter", "join_lateral_topk",
     # §2.4 aggregation
     "agg_hash", "agg_distinct", "agg_approx_distinct", "agg_percentile",
     "agg_rollup", "agg_cube", "agg_grouping_sets", "agg_collect",
     "agg_filtered", "pivot_wide", "unpivot_long", "agg_skew_salted",
     "agg_hll_mergeable", "agg_bitmap_distinct", "agg_tdigest",
     "agg_profile_summary", "agg_histogram", "ts_resample_fill", "agg_argmax",
-    "agg_observe_metrics", "agg_distinct_multiple",
+    "agg_observe_metrics", "agg_distinct_multiple", "agg_bool",
     "ts_anomaly_mad",
     # §2.5 windows
     "win_rank", "win_topk_group", "win_lag_lead", "win_running",
