@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from census_postgres_py_spark.registry import register
 from census_postgres_py_spark.tables import register_views, t
@@ -806,4 +807,51 @@ def agg_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.every(F.col("o_totalprice") > 1000).alias("all_over_1k"),
         F.some(F.col("o_orderstatus") == "F").alias("any_finished"),
         F.count_if(F.col("o_orderstatus") == "O").alias("n_open"),
+    )
+
+
+@register(
+    "agg_topn_others",
+    oracle="""
+    WITH brand_rev AS (
+        SELECT p_brand, sum(l_extendedprice) AS rev
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY p_brand
+    ), ranked AS (
+        SELECT p_brand, rev,
+               row_number() OVER (ORDER BY rev DESC, p_brand) AS rn
+        FROM brand_rev
+    )
+    SELECT CASE WHEN rn <= 3 THEN p_brand ELSE 'Others' END AS brand_group,
+           floor(sum(rev) * 100 + 0.5) / 100 AS revenue
+    FROM ranked
+    GROUP BY 1
+    """,
+)
+def agg_topn_others(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-N-plus-Others rollup — the BI presentation shape (top 3
+    brands named, the tail collapsed to one row). Rank over the tiny
+    aggregated frame, relabel, re-aggregate: the raw scan pays one
+    combinable shuffle; everything ranked is post-aggregation (a few
+    hundred rows), so the unpartitioned window is free. Tiebreak on
+    brand name keeps the N-th boundary deterministic.
+    """
+    li = t(spark, sf_dir, "lineitem").select("l_partkey", "l_extendedprice")
+    p = t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    rev = (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .groupBy("p_brand")
+        .agg(F.sum("l_extendedprice").alias("rev"))
+    )
+    w = Window.partitionBy().orderBy(F.col("rev").desc(), F.col("p_brand"))
+    return (
+        rev.withColumn("rn", F.row_number().over(w))
+        .withColumn(
+            "brand_group",
+            F.when(F.col("rn") <= 3, F.col("p_brand")).otherwise("Others"),
+        )
+        .groupBy("brand_group")
+        .agg(
+            (F.floor(F.sum("rev") * 100 + F.lit(0.5)) / 100).alias("revenue")
+        )
     )

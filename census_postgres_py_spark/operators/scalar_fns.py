@@ -396,3 +396,39 @@ def fn_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.parse_url(url, F.lit("QUERY")).alias("query"),
         F.parse_url(url, F.lit("QUERY"), F.lit("lang")).alias("lang_param"),
     )
+
+
+@register(
+    "fn_format",
+    oracle="""
+    SELECT c_custkey,
+           'b01001' || lpad(CAST(c_custkey % 49 + 1 AS VARCHAR), 3, '0')
+               AS acs_cell_id,
+           lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS padded_key,
+           concat_ws('|', c_mktsegment, CAST(c_nationkey AS VARCHAR))
+               AS composite,
+           printf('%.1f', round(c_acctbal, 1)) AS bal_1dp
+    FROM customer
+    """,
+)
+def fn_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rendering family (lpad / concat_ws / format_string) building
+    ACS-style zero-padded cell identifiers — the reference generates
+    column names like `b01001001` by padding cell ordinals exactly
+    this way [PK], so this is the naming half of its metadata-driven
+    schema machinery as expressions. `round(x,1)` before printf keeps
+    the rendered decimal identical on both engines.
+    """
+    c = t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.concat(
+            F.lit("b01001"),
+            F.lpad((F.col("c_custkey") % 49 + 1).cast("string"), 3, "0"),
+        ).alias("acs_cell_id"),
+        F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("padded_key"),
+        F.concat_ws(
+            "|", F.col("c_mktsegment"), F.col("c_nationkey").cast("string")
+        ).alias("composite"),
+        F.format_string("%.1f", F.round("c_acctbal", 1)).alias("bal_1dp"),
+    )

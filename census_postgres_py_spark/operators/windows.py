@@ -397,3 +397,87 @@ def win_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "win_share_of_total",
+    oracle="""
+    SELECT c_mktsegment,
+           floor(seg_rev * 100 + 0.5) / 100 AS segment_revenue,
+           floor(seg_rev / sum(seg_rev) OVER () * 1000000 + 0.5) / 1000000
+               AS revenue_share
+    FROM (
+        SELECT c_mktsegment, sum(o_totalprice) AS seg_rev
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment
+    )
+    """,
+)
+def win_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share-of-total (ratio_to_report): each segment's revenue as a
+    fraction of the grand total, via an UNPARTITIONED window over the
+    already-aggregated frame. The window runs over 5 rows, not 150k —
+    aggregate first, window after is the order that survives scale;
+    windowing the raw fact table for a grand total would serialize it
+    through one partition.
+    """
+    o = t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    seg = (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy("c_mktsegment")
+        .agg(F.sum("o_totalprice").alias("seg_rev"))
+    )
+    w = Window.partitionBy()
+    return seg.select(
+        "c_mktsegment",
+        (F.floor(F.col("seg_rev") * 100 + F.lit(0.5)) / 100).alias(
+            "segment_revenue"
+        ),
+        (
+            F.floor(
+                F.col("seg_rev") / F.sum("seg_rev").over(w) * 1000000
+                + F.lit(0.5)
+            )
+            / 1000000
+        ).alias("revenue_share"),
+    )
+
+
+@register(
+    "win_value_fns",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           first_value(o_totalprice) OVER w AS first_price,
+           last_value(o_totalprice) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+               AS last_price,
+           nth_value(o_totalprice, 2) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+               AS second_price
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def win_value_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional window values (first/last/nth): each order annotated
+    with its customer's first, latest, and second order price. The
+    classic trap is in the oracle on purpose: `last_value` over the
+    DEFAULT frame (unbounded..current) returns the CURRENT row, so
+    last/nth need an explicit unbounded-following frame — same rule in
+    Spark, DuckDB, and every ANSI engine.
+    """
+    o = t(spark, sf_dir, "orders")
+    w_def = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_full = w_def.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.first("o_totalprice").over(w_def).alias("first_price"),
+        F.last("o_totalprice").over(w_full).alias("last_price"),
+        F.nth_value("o_totalprice", 2).over(w_full).alias("second_price"),
+    )

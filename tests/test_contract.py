@@ -30,11 +30,12 @@ SURVEY_IDS = {
     "agg_hll_mergeable", "agg_bitmap_distinct", "agg_tdigest",
     "agg_profile_summary", "agg_histogram", "ts_resample_fill", "agg_argmax",
     "agg_observe_metrics", "agg_distinct_multiple", "agg_bool",
+    "agg_topn_others",
     "ts_anomaly_mad",
     # §2.5 windows
     "win_rank", "win_topk_group", "win_lag_lead", "win_running",
     "win_range_frame", "win_funnel_steps", "win_gap_islands",
-    "win_running_distinct",
+    "win_running_distinct", "win_share_of_total", "win_value_fns",
     # §2.6 sort / set ops / dedup
     "sort_limit", "union_all", "set_intersect", "set_except",
     "set_except_all", "set_intersect_all",
@@ -42,7 +43,7 @@ SURVEY_IDS = {
     # §2.7 scalar function families
     "fn_string", "fn_date", "fn_math", "fn_array", "fn_json", "fn_map",
     "fn_text_analysis", "fn_nested_explode", "fn_variant_json", "fn_xml_parse",
-    "fn_try_arith", "fn_url_parse",
+    "fn_try_arith", "fn_url_parse", "fn_format",
     # §2.8 streaming
     "stream_tumbling", "stream_sliding", "stream_session",
     "stream_watermark", "stream_dedup_state", "stream_foreachbatch_jdbc",
