@@ -855,3 +855,67 @@ def agg_topn_others(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.floor(F.sum("rev") * 100 + F.lit(0.5)) / 100).alias("revenue")
         )
     )
+
+
+@register(
+    "agg_listagg",
+    oracle="""
+    SELECT n_nationkey,
+           string_agg(c_name, ',' ORDER BY c_name) AS members
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_nationkey
+    """,
+)
+def agg_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-group ordered LISTAGG (ANSI SQL:2023, native in Spark
+    4.0) — the rendering aggregate behind "members" columns and
+    denormalized exports. WITHIN GROUP ordering is what makes the
+    result deterministic under distributed merge; an unordered listagg
+    is partition-order-dependent and unusable in a re-runnable
+    pipeline. State is the concatenated string, so group size is the
+    scale bound — cap or bucket groups beyond report scale.
+    """
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation").select("n_nationkey")
+    return (
+        c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("n_nationkey")
+        .agg(
+            F.expr(
+                "listagg(c_name, ',') WITHIN GROUP (ORDER BY c_name)"
+            ).alias("members")
+        )
+    )
+
+
+@register(
+    "sql_pipe_syntax",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n,
+           floor(sum(o_totalprice) * 100 + 0.5) / 100 AS revenue
+    FROM orders
+    WHERE o_orderstatus = 'O'
+    GROUP BY o_orderpriority
+    """,
+)
+def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL pipe syntax (Spark 4.0, SPARK-49555): the linear
+    `FROM … |> WHERE … |> AGGREGATE` form — each stage reads top-down
+    like a DataFrame chain, and Catalyst compiles it to the identical
+    plan as the nested-SELECT oracle. Surface parity matters: a user
+    migrating hand-written pipe-syntax queries runs them unchanged.
+    """
+    from census_postgres_py_spark.tables import register_views
+
+    register_views(spark, sf_dir, ["orders"])
+    return spark.sql(
+        """
+        FROM orders
+        |> WHERE o_orderstatus = 'O'
+        |> AGGREGATE CAST(count(*) AS BIGINT) AS n,
+                     floor(sum(o_totalprice) * 100 + 0.5) / 100 AS revenue
+           GROUP BY o_orderpriority
+        |> SELECT o_orderpriority, n, revenue
+        """
+    )

@@ -30,7 +30,7 @@ SURVEY_IDS = {
     "agg_hll_mergeable", "agg_bitmap_distinct", "agg_tdigest",
     "agg_profile_summary", "agg_histogram", "ts_resample_fill", "agg_argmax",
     "agg_observe_metrics", "agg_distinct_multiple", "agg_bool",
-    "agg_topn_others",
+    "agg_topn_others", "agg_listagg", "sql_pipe_syntax",
     "ts_anomaly_mad",
     # §2.5 windows
     "win_rank", "win_topk_group", "win_lag_lead", "win_running",
