@@ -432,3 +432,31 @@ def fn_format(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("composite"),
         F.format_string("%.1f", F.round("c_acctbal", 1)).alias("bal_1dp"),
     )
+
+
+_AES_KEY = "0123456789abcdef"  # 16-byte demo key; prod: KMS-managed
+
+
+@register(
+    "fn_crypto_roundtrip",
+    oracle="SELECT c_custkey, c_name AS name_back FROM customer",
+)
+def fn_crypto_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level encryption (`aes_encrypt`/`aes_decrypt`) — the PII
+    column protected at rest while the rest of the row stays queryable.
+    ECB mode on purpose: GCM (the default) salts a random IV per call,
+    which is stronger but NON-deterministic — a re-run would produce
+    different bytes and break re-runnable pipelines and equality joins
+    on encrypted columns; deterministic encryption is the standard
+    trade for joinable pseudonymized keys. The oracle checks the
+    decrypt(encrypt(x)) == x law; the test additionally pins that the
+    ciphertext differs from the plaintext.
+    """
+    c = t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.expr(
+            f"CAST(aes_decrypt(aes_encrypt(c_name, '{_AES_KEY}', 'ECB'),"
+            f" '{_AES_KEY}', 'ECB') AS STRING)"
+        ).alias("name_back"),
+    )

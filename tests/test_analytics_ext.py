@@ -214,3 +214,19 @@ def test_sorted_sink_rowgroup_stats_are_disjoint(spark, queries):
     # sf0.001 files may each hold a single row group; sortedness within
     # a group is then vacuous — but min<=max per group must still hold
     assert checked >= 0
+
+
+def test_crypto_ciphertext_differs_and_is_deterministic(spark):
+    from census_postgres_py_spark.operators.scalar_fns import _AES_KEY
+    from census_postgres_py_spark.tables import t
+
+    c = t(spark, SF_SMOKE, "customer").limit(50)
+    enc = c.select(
+        "c_name",
+        F.expr(f"aes_encrypt(c_name, '{_AES_KEY}', 'ECB')").alias("ct"),
+    )
+    rows = enc.collect()
+    assert all(bytes(r["ct"]) != r["c_name"].encode() for r in rows)
+    # deterministic: a second evaluation yields identical ciphertext
+    again = {r["c_name"]: bytes(r["ct"]) for r in enc.collect()}
+    assert all(again[r["c_name"]] == bytes(r["ct"]) for r in rows)

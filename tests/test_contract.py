@@ -43,7 +43,7 @@ SURVEY_IDS = {
     # §2.7 scalar function families
     "fn_string", "fn_date", "fn_math", "fn_array", "fn_json", "fn_map",
     "fn_text_analysis", "fn_nested_explode", "fn_variant_json", "fn_xml_parse",
-    "fn_try_arith", "fn_url_parse", "fn_format",
+    "fn_try_arith", "fn_url_parse", "fn_format", "fn_crypto_roundtrip",
     # §2.8 streaming
     "stream_tumbling", "stream_sliding", "stream_session",
     "stream_watermark", "stream_dedup_state", "stream_foreachbatch_jdbc",
