@@ -919,3 +919,43 @@ def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
         |> SELECT o_orderpriority, n, revenue
         """
     )
+
+
+@register(
+    "agg_grouping_id",
+    oracle="""
+    SELECT coalesce(o_orderstatus, 'ALL') AS status_lvl,
+           coalesce(o_orderpriority, 'ALL') AS prio_lvl,
+           CAST(2 * grouping(o_orderstatus) + grouping(o_orderpriority)
+                AS BIGINT) AS lvl,
+           CAST(count(*) AS BIGINT) AS n
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subtotal-level labeling with `grouping()` — the disambiguator
+    that makes ROLLUP output machine-readable: a NULL group value can
+    mean "subtotal row" OR a genuinely NULL key, and only grouping()
+    tells them apart (agg_rollup leaves them ambiguous on purpose;
+    this is the production form). The level id is composed explicitly
+    (2*g(a)+g(b)) so both engines agree bit-for-bit.
+    """
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            (
+                2 * F.grouping("o_orderstatus") + F.grouping("o_orderpriority")
+            )
+            .cast("long")
+            .alias("lvl"),
+            F.count("*").alias("n"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status_lvl"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("prio_lvl"),
+            "lvl",
+            "n",
+        )
+    )

@@ -481,3 +481,37 @@ def win_value_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("o_totalprice").over(w_full).alias("last_price"),
         F.nth_value("o_totalprice", 2).over(w_full).alias("second_price"),
     )
+
+
+@register(
+    "win_range_interval",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           floor(sum(o_totalprice) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate
+               RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW)
+               * 100 + 0.5) / 100 AS trailing_30d
+    FROM orders
+    """,
+)
+def win_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-interval RANGE frame — `RANGE BETWEEN INTERVAL 30 DAY
+    PRECEDING` directly over the timestamp ordering column, the form
+    win_range_frame emulates with epoch-second arithmetic (the
+    DataFrame API's rangeBetween is numeric-only; the SQL surface
+    takes true intervals). RANGE frames make ties-by-date share a
+    frame, which ROWS frames can't express.
+    """
+    from census_postgres_py_spark.tables import register_views
+
+    register_views(spark, sf_dir, ["orders"])
+    return spark.sql(
+        """
+        SELECT o_custkey, o_orderkey,
+               floor(sum(o_totalprice) OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate
+                   RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW)
+                   * 100 + 0.5) / 100 AS trailing_30d
+        FROM orders
+        """
+    )

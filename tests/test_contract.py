@@ -30,12 +30,13 @@ SURVEY_IDS = {
     "agg_hll_mergeable", "agg_bitmap_distinct", "agg_tdigest",
     "agg_profile_summary", "agg_histogram", "ts_resample_fill", "agg_argmax",
     "agg_observe_metrics", "agg_distinct_multiple", "agg_bool",
-    "agg_topn_others", "agg_listagg", "sql_pipe_syntax",
+    "agg_topn_others", "agg_listagg", "sql_pipe_syntax", "agg_grouping_id",
     "ts_anomaly_mad",
     # §2.5 windows
     "win_rank", "win_topk_group", "win_lag_lead", "win_running",
     "win_range_frame", "win_funnel_steps", "win_gap_islands",
     "win_running_distinct", "win_share_of_total", "win_value_fns",
+    "win_range_interval",
     # §2.6 sort / set ops / dedup
     "sort_limit", "union_all", "set_intersect", "set_except",
     "set_except_all", "set_intersect_all",
