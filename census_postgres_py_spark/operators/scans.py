@@ -555,3 +555,42 @@ def sink_partitioned_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
             .parquet(path)
         )
     return spark.read.parquet(path).select(*cols)
+
+
+@register(
+    "scan_text_wholefile",
+    oracle="""
+    SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars
+    FROM documents WHERE doc_id < 40
+    """,
+)
+def scan_text_wholefile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-document-per-file ingestion (`wholetext=True`) — how raw
+    text corpora actually land (a crawl dump is millions of files, not
+    one CSV). Each file becomes ONE row regardless of newlines; doc
+    identity is recovered from the file path via
+    `input_file_name()`-style parsing (here the filename encodes
+    doc_id). Small-files economics apply at 100 TB: list+open
+    dominates, so the first job is usually exactly this scan feeding
+    sink_compact_files.
+    """
+    path = _scratch(f"docs_wholefile_{os.path.basename(sf_dir)}")
+    docs = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 40)
+        .select("doc_id", "text")
+    )
+    marker = os.path.join(path, "_DONE")
+    if not os.path.exists(marker):
+        os.makedirs(path, exist_ok=True)
+        for r in docs.collect():  # 40 files — driver-side write is the point
+            with open(os.path.join(path, f"doc_{r.doc_id:06d}.txt"), "w") as f:
+                f.write(r.text)
+        open(marker, "w").close()
+    raw = spark.read.text(os.path.join(path, "doc_*.txt"), wholetext=True)
+    return raw.select(
+        F.regexp_extract(F.input_file_name(), r"doc_(\d+)\.txt", 1)
+        .cast("long")
+        .alias("doc_id"),
+        F.length("value").cast("long").alias("n_chars"),
+    )

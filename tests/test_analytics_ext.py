@@ -230,3 +230,15 @@ def test_crypto_ciphertext_differs_and_is_deterministic(spark):
     # deterministic: a second evaluation yields identical ciphertext
     again = {r["c_name"]: bytes(r["ct"]) for r in enc.collect()}
     assert all(again[r["c_name"]] == bytes(r["ct"]) for r in rows)
+
+
+def test_recent_op_plan_shapes(spark, queries):
+    """Scans prune to the projected columns; the MAD pipeline keeps
+    all its shuffles on user_id (no cartesian fallback anywhere)."""
+    p = _plan(queries["scan_orc"](spark, SF_SMOKE))
+    read_schema = p.split("ReadSchema: ", 1)[1].splitlines()[0]
+    assert read_schema.count(",") <= 5, read_schema
+    from census_postgres_py_spark.plans import has_cartesian
+
+    assert not has_cartesian(queries["ts_anomaly_mad"](spark, SF_SMOKE))
+    assert not has_cartesian(queries["win_range_interval"](spark, SF_SMOKE))
