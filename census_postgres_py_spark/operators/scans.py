@@ -594,3 +594,69 @@ def scan_text_wholefile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("doc_id"),
         F.length("value").cast("long").alias("n_chars"),
     )
+
+
+@register(
+    "scan_python_datasource",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+)
+def scan_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom Python DataSource (Spark 4.0, SPARK-44076) — the
+    extension point for in-house formats the built-in readers can't
+    touch (the reference's bespoke sequence-file layout is exactly
+    this shape). The source plans one `InputPartition` PER SHARD, so
+    Spark schedules shard reads in parallel across executors — the
+    partition planning, not the parsing, is what makes a custom
+    source scale; a reader without partitions() serializes the whole
+    corpus through one task.
+    """
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceReader,
+        InputPartition,
+    )
+
+    path = _scratch(f"pyds_nation_{os.path.basename(sf_dir)}")
+    nation = t(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    marker = os.path.join(path, "_DONE")
+    if not os.path.exists(marker):
+        os.makedirs(path, exist_ok=True)
+        rows = nation.collect()
+        for shard in range(5):
+            with open(os.path.join(path, f"shard_{shard}.csv"), "w") as f:
+                for r in rows[shard::5]:
+                    f.write(f"{r.n_nationkey},{r.n_name},{r.n_regionkey}\n")
+        open(marker, "w").close()
+
+    class SeqCsvReader(DataSourceReader):
+        def __init__(self, options: dict) -> None:
+            self._path = options["path"]
+
+        def partitions(self):
+            return [
+                InputPartition(os.path.join(self._path, f))
+                for f in sorted(os.listdir(self._path))
+                if f.endswith(".csv")
+            ]
+
+        def read(self, partition):
+            with open(partition.value) as f:
+                for line in f:
+                    key, name, region = line.rstrip("\n").split(",")
+                    yield (int(key), name, int(region))
+
+    class SeqCsvSource(DataSource):
+        @classmethod
+        def name(cls) -> str:
+            return "acs_seqcsv"
+
+        def schema(self) -> str:
+            return "n_nationkey INT, n_name STRING, n_regionkey INT"
+
+        def reader(self, schema):
+            return SeqCsvReader(self.options)
+
+    spark.dataSource.register(SeqCsvSource)
+    return spark.read.format("acs_seqcsv").option("path", path).load()

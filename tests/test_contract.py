@@ -13,6 +13,7 @@ SURVEY_IDS = {
     "scan_parquet", "scan_csv_schema", "scan_fixed_width", "scan_jsonl",
     "scan_orc", "scan_merge_schema", "sink_compact_files", "scan_csv_dropmalformed",
     "scan_csv_compressed", "sink_partitioned_sorted", "scan_text_wholefile",
+    "scan_python_datasource",
     "sink_parquet", "sink_jdbc", "schema_from_metadata", "pipeline_acs_e2e",
     # §2.2 transforms
     "project_rename", "filter_pred", "filter_in_set", "null_normalize",
