@@ -598,3 +598,82 @@ def pipeline_stream_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("weighted_value"),
         )
     )
+
+
+@register(
+    "stream_python_datasource",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+)
+def stream_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming custom Python DataSource (Spark 4.0,
+    `SimpleDataSourceStreamReader`) — the offset-tracked twin of
+    scan_python_datasource: each micro-batch reads one shard and
+    advances a {"shard": i} offset, exactly how a queue/ledger source
+    reports progress; an exhausted source returns no rows and the SAME
+    offset, which is the no-progress signal processAllAvailable stops
+    on. Completes the extension-point story: bespoke format, batch AND
+    streaming, from Python.
+    """
+    from pyspark.sql.datasource import DataSource, SimpleDataSourceStreamReader
+
+    path = _scratch(f"pyds_stream_nation_{os.path.basename(sf_dir)}")
+    nation = t(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    marker = os.path.join(path, "_DONE")
+    if not os.path.exists(marker):
+        rows = nation.collect()
+        for shard in range(5):
+            with open(os.path.join(path, f"shard_{shard}.csv"), "w") as f:
+                for r in rows[shard::5]:
+                    f.write(f"{r.n_nationkey},{r.n_name},{r.n_regionkey}\n")
+        open(marker, "w").close()
+
+    class ShardStreamReader(SimpleDataSourceStreamReader):
+        def __init__(self, options: dict) -> None:
+            self._path = options["path"]
+
+        def initialOffset(self) -> dict:
+            return {"shard": 0}
+
+        def read(self, start: dict):
+            shard = start["shard"]
+            fpath = os.path.join(self._path, f"shard_{shard}.csv")
+            if not os.path.exists(fpath):
+                return iter([]), start  # exhausted: no progress
+            out = []
+            with open(fpath) as f:
+                for line in f:
+                    k, name, region = line.rstrip("\n").split(",")
+                    out.append((int(k), name, int(region)))
+            return iter(out), {"shard": shard + 1}
+
+        def readBetweenOffsets(self, start: dict, end: dict):
+            rows = []
+            for shard in range(start["shard"], end["shard"]):
+                fpath = os.path.join(self._path, f"shard_{shard}.csv")
+                with open(fpath) as f:
+                    for line in f:
+                        k, name, region = line.rstrip("\n").split(",")
+                        rows.append((int(k), name, int(region)))
+            return iter(rows)
+
+        def commit(self, end: dict) -> None:
+            pass
+
+    class ShardStreamSource(DataSource):
+        @classmethod
+        def name(cls) -> str:
+            return "acs_seqcsv_stream"
+
+        def schema(self) -> str:
+            return "n_nationkey INT, n_name STRING, n_regionkey INT"
+
+        def simpleStreamReader(self, schema):
+            return ShardStreamReader(self.options)
+
+    spark.dataSource.register(ShardStreamSource)
+    stream = (
+        spark.readStream.format("acs_seqcsv_stream").option("path", path).load()
+    )
+    return _run_to_memory(stream, "append")

@@ -242,3 +242,8 @@ def test_recent_op_plan_shapes(spark, queries):
 
     assert not has_cartesian(queries["ts_anomaly_mad"](spark, SF_SMOKE))
     assert not has_cartesian(queries["win_range_interval"](spark, SF_SMOKE))
+
+
+def test_python_datasource_plans_one_partition_per_shard(spark, queries):
+    df = queries["scan_python_datasource"](spark, SF_SMOKE)
+    assert df.rdd.getNumPartitions() == 5

@@ -51,7 +51,7 @@ SURVEY_IDS = {
     "stream_watermark", "stream_dedup_state", "stream_foreachbatch_jdbc",
     "stream_custom_state", "stream_static_join", "stream_stream_join",
     "stream_stream_left_outer", "stream_incremental_availablenow",
-    "pipeline_stream_e2e",
+    "pipeline_stream_e2e", "stream_python_datasource",
     # §2.9 UDF surface
     "udf_pandas_scalar", "udf_grouped_agg", "udf_grouped_map", "udf_pandas_iter",
     "udf_window_agg",
