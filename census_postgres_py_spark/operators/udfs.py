@@ -260,17 +260,17 @@ def udf_pandas_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "udf_window_agg",
-    oracle="""
+_WINDOW_AGG_ORACLE = """
     SELECT o_custkey, o_orderkey,
-           round(sum(o_totalprice * o_totalprice) OVER w
-                 / sum(o_totalprice) OVER w, 2) AS w_run
+           floor(sum(o_totalprice * o_totalprice) OVER w
+                 / sum(o_totalprice) OVER w * 100 + 0.5) / 100 AS w_run
     FROM orders
     WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-    """,
-)
+    """
+
+
+@register("udf_window_agg", oracle=_WINDOW_AGG_ORACLE)
 def udf_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped-agg Pandas UDF applied OVER a window frame — the
     seventh and last pandas-UDF surface (scalar, iterator, grouped
@@ -291,10 +291,78 @@ def udf_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("o_orderdate", "o_orderkey")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    run = _weighted_avg("o_totalprice", "o_totalprice").over(w)
+    # Repo-wide 2dp idiom (floor(x*100+0.5)/100) — Spark/DuckDB
+    # round(double, 2) diverge on half-cent boundaries.
     return li.select(
         "o_custkey",
         "o_orderkey",
-        F.round(_weighted_avg("o_totalprice", "o_totalprice").over(w), 2).alias(
-            "w_run"
-        ),
+        (F.floor(run * 100 + F.lit(0.5)) / 100).alias("w_run"),
+    )
+
+
+def _running_wavg_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """Segmented-cumsum kernel: ONE Python call per Arrow batch (not
+    per row-frame, not per group). Requires input contiguous-grouped
+    by o_custkey and ordered (o_orderdate, o_orderkey) within group —
+    the Spark side guarantees it. Running sums for the group that
+    straddles a batch boundary are carried across batches."""
+    import numpy as np
+
+    last_key, off_pp, off_p = None, 0.0, 0.0
+    for pdf in batches:
+        n = len(pdf)
+        if not n:
+            continue
+        keys = pdf["o_custkey"].to_numpy()
+        p = pdf["o_totalprice"].to_numpy(dtype="float64")
+        cpp, cp = np.cumsum(p * p), np.cumsum(p)
+        starts = np.flatnonzero(np.r_[True, keys[1:] != keys[:-1]])
+        sizes = np.diff(np.r_[starts, n])
+        base_pp = np.repeat(np.r_[0.0, cpp[starts[1:] - 1]], sizes)
+        base_p = np.repeat(np.r_[0.0, cp[starts[1:] - 1]], sizes)
+        seg_pp, seg_p = cpp - base_pp, cp - base_p
+        if last_key is not None and keys[0] == last_key:
+            n0 = starts[1] if len(starts) > 1 else n
+            seg_pp[:n0] += off_pp
+            seg_p[:n0] += off_p
+        last_key, off_pp, off_p = keys[-1], seg_pp[-1], seg_p[-1]
+        yield pd.DataFrame(
+            {
+                "o_custkey": keys,
+                "o_orderkey": pdf["o_orderkey"].to_numpy(),
+                "w_run": np.floor(seg_pp / seg_p * 100 + 0.5) / 100,
+            }
+        )
+
+
+@register("udf_window_agg_fast", oracle=_WINDOW_AGG_ORACLE)
+def udf_window_agg_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scale path for `udf_window_agg`, same oracle: instead of
+    shipping every row's frame to Python as its own Arrow batch (one
+    UDF call per row — O(rows) Python entries, O(rows²) bytes crossing
+    Arrow for unbounded frames), hash-partition on the window key, sort
+    within partitions, and stream batches through `mapInPandas` with a
+    vectorized segmented cumsum + cross-batch carry. Python entries
+    drop to O(rows / arrow_batch_size); bytes to O(rows).
+
+    Per-group `applyInPandas` was measured and rejected for this op:
+    with ~15k tiny customer groups the per-group kernel/pandas overhead
+    made it SLOWER than the per-frame surface (13.8 s vs 10.5 s at
+    sf0.1). The batch-streaming form is the 100 TB shape: one shuffle
+    (same as the native window), a partition-local sort, then a linear
+    numpy pass — no per-group Python re-entry, no group-size memory
+    bound beyond one Arrow batch."""
+    o = t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+    return (
+        o.repartition("o_custkey")
+        .sortWithinPartitions("o_custkey", "o_orderdate", "o_orderkey")
+        .mapInPandas(
+            _running_wavg_batches,
+            schema="o_custkey long, o_orderkey long, w_run double",
+        )
     )

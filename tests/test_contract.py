@@ -54,7 +54,7 @@ SURVEY_IDS = {
     "pipeline_stream_e2e", "stream_python_datasource",
     # §2.9 UDF surface
     "udf_pandas_scalar", "udf_grouped_agg", "udf_grouped_map", "udf_pandas_iter",
-    "udf_window_agg",
+    "udf_window_agg", "udf_window_agg_fast",
     "udf_cogrouped_map", "udf_map_in_arrow",
     # §2.10 LLM-pipeline extensions
     "dedup_ngram_jaccard", "dedup_simhash", "dedup_embedding_cosine",

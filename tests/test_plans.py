@@ -164,3 +164,28 @@ def test_null_safe_join_stays_hash_join(spark, queries):
     plan = _plan(queries["join_null_safe"](spark, SF_SMOKE))
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_window_agg_fast_is_single_shuffle_no_window(spark, queries):
+    """The vectorized twin must be one hash shuffle + partition-local
+    sort + MapInPandas — no WindowExec (that's the slow surface it
+    replaces) and no per-group re-entry."""
+    df = queries["udf_window_agg_fast"](spark, SF_SMOKE)
+    plan = _plan(df)
+    assert "MapInPandas" in plan, plan
+    assert "Window" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_window_agg_fast_matches_per_frame_surface(spark, queries):
+    """Same oracle, same values: the batch-streaming kernel must agree
+    with the per-frame pandas-UDAF surface row for row."""
+    slow = {
+        (r.o_custkey, r.o_orderkey): r.w_run
+        for r in queries["udf_window_agg"](spark, SF_SMOKE).collect()
+    }
+    fast = {
+        (r.o_custkey, r.o_orderkey): r.w_run
+        for r in queries["udf_window_agg_fast"](spark, SF_SMOKE).collect()
+    }
+    assert slow == fast
