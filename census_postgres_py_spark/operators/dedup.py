@@ -407,7 +407,13 @@ def dedup_clusters_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels = shingled.select(
         "doc_id", F.col("doc_id").alias("label")
     ).localCheckpoint()
-    for _ in range(10):
+    # Iterate to the FIXPOINT (changed == 0), not a fixed round count:
+    # the oracle is a recursive CTE's fixpoint, so returning
+    # non-converged labels would silently diverge on any component
+    # whose diameter exceeds the cap. The cap is a safety net only —
+    # min-label propagation converges in <= diameter rounds, so hitting
+    # 64 means the edge set itself is pathological; fail loudly.
+    for _ in range(64):
         prop = edges.join(labels, F.col("src") == F.col("doc_id")).select(
             F.col("dst").alias("doc_id"), "label"
         )
@@ -426,6 +432,11 @@ def dedup_clusters_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
+    else:
+        raise RuntimeError(
+            "dedup_clusters_cc: label propagation did not converge in 64 "
+            "rounds - component diameter > 64 suggests a corrupt edge set"
+        )
     return labels.select(
         "doc_id", F.col("label").cast("long").alias("cluster_id")
     )
@@ -449,13 +460,18 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Candidates-first, two stages:
 
-    1. Candidate generation — the full embedding table (a dim table:
-       vectors deduped upstream) is collected once into a normalized
-       float64 matrix and broadcast; a ``mapInPandas`` pass computes
-       each Arrow batch's similarities against it with one BLAS matmul
-       and keeps pairs >= 0.449. The 0.001 slack is ~1e12 × any
-       float-accumulation-order difference, so candidate RECALL vs the
-       exact predicate is total — this stage can only over-select.
+    1. Candidate generation — distributed BLOCK-PAIR matmul, no driver
+       collect anywhere (the round-2 version collected the whole table
+       to the driver as a broadcast build side — an unbounded
+       driver-memory dependency; this is the fix). Rows are assigned a
+       block b = vec_id % B (B sized so one block's float64 matrix is
+       a few MB); each row is exploded to every unordered block pair
+       {b, k}, so group (i, j) receives exactly block i's and block
+       j's rows after ONE hash shuffle. An `applyInPandas` kernel then
+       runs one BLAS matmul per block pair and keeps pairs >= 0.449.
+       The 0.001 slack is ~1e12 × any float-accumulation-order
+       difference, so candidate RECALL vs the exact predicate is total
+       — this stage can only over-select.
     2. Exact verification — the (tiny) candidate set joins back to the
        embedding table and is re-scored with the sequential JVM-side
        ``zip_with``/``aggregate`` fold, whose left-to-right accumulation
@@ -463,38 +479,60 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
        rounding both happen here, so the output is identical to the
        brute-force plan's.
 
-    Replaces the O(n²)-folds broadcast nested-loop (82 s at sf0.1 —
-    2M interpreted 64-dim folds; now ~2M FLOP-dense matmul rows plus
-    ~200 folds). At 100 TB the broadcast side no longer fits one
-    executor: block the matrix into chunks and loop the same matmul
-    per chunk, or switch to the hyperplane-LSH bucketing in
-    similarity.py when approximate recall is acceptable.
+    Scale shape: every unordered pair of ids lands in exactly one of
+    the B(B+1)/2 groups, so the work is a perfect partition of the n²/2
+    similarity space into bounded-memory tiles — the classic
+    block-partitioned all-pairs. Shuffle volume is n×B rows (each row
+    replicated once per pair it serves); executor memory is 2 blocks,
+    independent of table size. For corpora where even n×B amplification
+    is too hot, the hyperplane-LSH bucketing in similarity.py is the
+    approximate-recall alternative; this operator is the exact tier.
     """
     import numpy as np
     import pandas as pd
 
     e = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
 
-    rows = e.collect()  # build side of the broadcast, like a hash-join build
-    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
-    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
-    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
-    bc = spark.sparkContext.broadcast((ids, mat))
+    # B ~ n/block_rows. count() is a distributed metadata-cheap action,
+    # not a collect; at fixture scale (500 rows, block 128) B=4 -> 10
+    # real block-pair groups, so the tiling is genuinely exercised.
+    n = e.count()
+    block_rows = 128 if n <= 4096 else 4096
+    n_blocks = max(1, -(-n // block_rows))
 
-    def candidates(batches):
-        b_ids, b_mat = bc.value
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            a_ids = pdf["vec_id"].to_numpy(np.int64)
-            a_mat = np.stack(pdf["embedding"].to_numpy())
-            a_mat = a_mat.astype(np.float64)
-            a_mat /= np.linalg.norm(a_mat, axis=1, keepdims=True)
-            sims = a_mat @ b_mat.T
-            ai, bi = np.nonzero((sims >= 0.449) & (a_ids[:, None] < b_ids[None, :]))
-            yield pd.DataFrame({"a_id": a_ids[ai], "b_id": b_ids[bi]})
+    def block_sims(pdf: pd.DataFrame) -> pd.DataFrame:
+        i, j = int(pdf["i"].iat[0]), int(pdf["j"].iat[0])
+        left = pdf[pdf["b"] == i]
+        right = pdf[pdf["b"] == j] if i != j else left
+        if not len(left) or not len(right):
+            return pd.DataFrame({"a_id": [], "b_id": []}).astype("int64")
+        l_ids = left["vec_id"].to_numpy(np.int64)
+        r_ids = right["vec_id"].to_numpy(np.int64)
+        l_mat = np.stack(left["embedding"].to_numpy()).astype(np.float64)
+        r_mat = np.stack(right["embedding"].to_numpy()).astype(np.float64)
+        l_mat /= np.linalg.norm(l_mat, axis=1, keepdims=True)
+        r_mat /= np.linalg.norm(r_mat, axis=1, keepdims=True)
+        keep = (l_mat @ r_mat.T) >= 0.449
+        # one ordered emission per unordered id pair: the i==j tile
+        # takes its own upper triangle, cross tiles order by id
+        keep &= l_ids[:, None] < r_ids[None, :] if i == j else True
+        li, ri = np.nonzero(keep)
+        return pd.DataFrame(
+            {
+                "a_id": np.minimum(l_ids[li], r_ids[ri]),
+                "b_id": np.maximum(l_ids[li], r_ids[ri]),
+            }
+        )
 
-    cand = e.mapInPandas(candidates, "a_id long, b_id long")
+    tiled = (
+        e.withColumn("b", (F.col("vec_id") % n_blocks).cast("int"))
+        .withColumn("k", F.explode(F.sequence(F.lit(0), F.lit(n_blocks - 1))))
+        .withColumn("i", F.least("b", "k"))
+        .withColumn("j", F.greatest("b", "k"))
+    )
+    cand = tiled.groupBy("i", "j").applyInPandas(
+        block_sims, "a_id long, b_id long"
+    )
 
     a = e.select(F.col("vec_id").alias("a_id"), F.col("embedding").alias("a_emb"))
     b = e.select(F.col("vec_id").alias("b_id"), F.col("embedding").alias("b_emb"))

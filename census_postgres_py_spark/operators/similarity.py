@@ -171,6 +171,7 @@ N_CELLS = 32
 N_PROBE_CELLS = 8
 _KMEANS_ITERS = 2
 _CENTROID_SEED = 7
+_TRAIN_CAP = 4096  # quantizer training-sample cap (bounds driver memory)
 
 
 @register("join_similarity_ivf")  # approximate recall => rows-only
@@ -178,12 +179,12 @@ def join_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF (inverted-file) ANN top-k — the low-similarity-regime path.
 
     Index side: a k-means coarse quantizer (K=32, 2 Lloyd iterations,
-    fixed seed, trained driver-side — coarse quantizers are always
-    trained on a small sample, faiss-style; at 100 TB train on a
-    seeded sample and write each vector's cell id as its partition
-    key at ingest). Assignment runs distributed as one `mapInPandas`
-    matmul per Arrow batch against the broadcast (32 x 64) centroid
-    matrix.
+    fixed seed) trained on a seeded sample capped at _TRAIN_CAP rows —
+    coarse quantizers are always trained on a small sample,
+    faiss-style, so driver memory stays bounded at any corpus size (at
+    100 TB, write each vector's cell id as its partition key at
+    ingest). Assignment runs distributed as one `mapInPandas` matmul
+    per Arrow batch against the broadcast (32 x 64) centroid matrix.
 
     Query side: each probe expands to its `nprobe`=8 nearest cells,
     equi-joins on cell, and only those candidates (~25% of vectors
@@ -198,12 +199,23 @@ def join_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
 
-    rows = e.collect()  # quantizer training set (sampled at scale)
-    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
-    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    # Quantizer training set: a SEEDED SAMPLE capped at _TRAIN_CAP rows
+    # (faiss-style — coarse quantizers never need the full corpus), so
+    # driver memory is bounded no matter how large the table is. At
+    # fixture scale the fraction rounds to 1.0 and training is
+    # byte-identical to full-table training (recall floor pinned in
+    # tests); at 100 TB the same code pulls ~4k rows.
+    n = e.count()
+    frac = min(1.0, _TRAIN_CAP * 1.2 / max(n, 1))
+    train = (
+        e.sample(False, frac, seed=_CENTROID_SEED).limit(_TRAIN_CAP)
+        if frac < 1.0
+        else e
+    ).collect()
+    mat = np.array([r["embedding"] for r in train], dtype=np.float64)
     mat /= np.linalg.norm(mat, axis=1, keepdims=True)
     rng = np.random.RandomState(_CENTROID_SEED)
-    cent = mat[rng.choice(len(ids), N_CELLS, replace=False)].copy()
+    cent = mat[rng.choice(len(mat), N_CELLS, replace=False)].copy()
     for _ in range(_KMEANS_ITERS):
         assign = np.argmax(mat @ cent.T, axis=1)
         for k in range(N_CELLS):
@@ -229,10 +241,16 @@ def join_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cells = e.mapInPandas(assign_cells, "vec_id long, cell long")
 
-    # probe -> its nprobe nearest cells (driver-side: 5 probes x 32 cells)
+    # probe -> its nprobe nearest cells. Only the |PROBE_IDS| probe
+    # vectors are collected (bounded), not the table.
+    probe_vecs = {
+        r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+        for r in e.filter(F.col("vec_id").isin(PROBE_IDS)).collect()
+    }
     probe_cells = []
     for pid in PROBE_IDS:
-        v = mat[np.where(ids == pid)[0][0]]
+        v = probe_vecs[pid]
+        v /= np.linalg.norm(v)
         for c in np.argsort(-(cent @ v))[:N_PROBE_CELLS]:
             probe_cells.append((int(pid), int(c)))
     pc = spark.createDataFrame(probe_cells, "probe_id long, cell long")

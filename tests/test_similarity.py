@@ -90,3 +90,16 @@ def test_lsh_recall_floor_at_larger_corpus(spark, queries, exact_bench):
     got = _hits(queries["join_similarity_ann"](spark, SF_BENCH))
     recall = len(exact_bench & got) / len(exact_bench)
     assert recall >= 0.2, f"LSH ANN recall {recall:.2f} at {SF_BENCH}"
+
+
+def test_ivf_quantizer_collect_is_bounded():
+    """Round-2 verdict: the quantizer trained on a full-table
+    collect(). It must train on a seeded sample capped at _TRAIN_CAP
+    and collect only probe vectors beyond that."""
+    import inspect
+
+    from census_postgres_py_spark.operators import similarity
+
+    src = inspect.getsource(similarity.join_similarity_ivf)
+    assert "e.collect()" not in src
+    assert "_TRAIN_CAP" in src
