@@ -2,19 +2,28 @@
 opaque `binary` payloads + typed metadata, processed by Arrow-batched
 `mapInPandas` pipelines.
 
-The container has no image/audio codecs, so the DECODE step is a
-clearly-marked deterministic fake (`_fake_decode`) behind the same
-interface a real decoder (PIL / torchaudio / pyav) would implement —
-the Spark-side plumbing (binary column, schema, batch iteration,
-partition-parallel UDF) is real and tested. At 100 TB the pattern is:
-payload bytes stay columnar in parquet, decode runs once per row
-inside `mapInPandas` batches, and extracted features land in typed
-columns for downstream relational ops.
+The container has no external codecs (PIL/torchaudio/pyav), so payloads
+use SIMG — a self-defined raw-gray image format (4-byte magic, big-
+endian u16 width/height, row-major u8 pixels) whose pixel function is
+deterministic in doc_id. That makes every stage REAL: the encoder packs
+actual binary images, the decoder parses the header and pixel buffer
+with numpy (magic check included), the resizer mean-pools real pixel
+blocks — and every extracted feature is reproducible in pure SQL, so
+the DuckDB oracle hash-checks values instead of row counts. Swapping
+SIMG for JPEG means replacing only the two pure functions `_encode_img`
+/ decode parsing; the Spark plumbing (binary column between two
+mapInPandas stages, schema, batch iteration) is byte-for-byte what a
+production image pipeline runs.
+
+At 100 TB the pattern is: payload bytes stay columnar in parquet,
+decode runs inside `mapInPandas` batches (one Python entry per Arrow
+batch), and extracted features land in typed columns for downstream
+relational ops — no row-at-a-time UDF, no driver traffic.
 """
 
 from __future__ import annotations
 
-import zlib
+import struct
 from collections.abc import Iterator
 
 import pandas as pd
@@ -26,54 +35,116 @@ from census_postgres_py_spark.tables import t
 
 FRAME_STRIDE = 50  # frame-sampling stride (every 50th frame)
 
-
-def _fake_decode(payload: bytes) -> dict:
-    """STUB decoder. A real build replaces this body with e.g.
-    ``PIL.Image.open(io.BytesIO(payload))`` — everything around it
-    (schema, batching, partitioning) is production-shaped. The fake is
-    a pure function of the bytes, so results are deterministic.
-    """
-    crc = zlib.crc32(payload)
-    return {
-        "n_bytes": len(payload),
-        "checksum": crc,
-        "width": 320 + (crc % 1600),  # fake intrinsic size
-        "height": 240 + ((crc >> 11) % 900),
-    }
+IMG_MAGIC = b"SIMG"
+# Intrinsic dims / pixels are affine-mod functions of doc_id so the SQL
+# oracle can regenerate them: w in [16,64), h in [16,48),
+# px[i] = (doc_id*7 + i*13) % 256 row-major.
+_W_EXPR = "16 + doc_id % 48"
+_H_EXPR = "16 + (doc_id * 3) % 32"
 
 
-_FEATURE_COLS = ["n_bytes", "checksum", "width", "height"]
+def _encode_img(doc_id: int) -> bytes:
+    """Pack a real SIMG payload: magic + u16be dims + u8 pixel rows."""
+    import numpy as np
+
+    w, h = 16 + doc_id % 48, 16 + (doc_id * 3) % 32
+    px = ((doc_id * 7 + 13 * np.arange(w * h, dtype=np.int64)) % 256).astype(
+        np.uint8
+    )
+    return IMG_MAGIC + struct.pack(">HH", w, h) + px.tobytes()
+
+
+def _encode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Stage 1: rows -> binary image column (the ingest half)."""
+    for pdf in batches:
+        if not len(pdf):
+            continue
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"].to_numpy(),
+                "payload": [_encode_img(int(d)) for d in pdf["doc_id"]],
+            }
+        )
+
+
+def _payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+    return docs.mapInPandas(_encode_batches, schema="doc_id long, payload binary")
+
+
+def _parse_img(payload: bytes):
+    """REAL decode: validate magic, unpack header, view pixel buffer."""
+    import numpy as np
+
+    if payload[:4] != IMG_MAGIC:
+        raise ValueError("not a SIMG payload")
+    w, h = struct.unpack(">HH", payload[4:8])
+    px = np.frombuffer(payload, dtype=np.uint8, count=w * h, offset=8)
+    return w, h, px
 
 
 def _decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """mapInPandas kernel: Arrow batch in, feature batch out.
+    """Stage 2 kernel: binary batch in, typed feature batch out.
 
     Empty batches are skipped: ``pd.DataFrame([])`` has zero columns,
     which would fail the declared output schema."""
     for pdf in batches:
         if not len(pdf):
             continue
-        feats = [_fake_decode(p) for p in pdf["payload"]]
-        out = pd.DataFrame(feats, columns=_FEATURE_COLS)
+        rows = []
+        for payload in pdf["payload"]:
+            w, h, px = _parse_img(bytes(payload))
+            s = int(px.sum())
+            rows.append(
+                {
+                    "width": w,
+                    "height": h,
+                    "n_px": w * h,
+                    "px_sum": s,
+                    "px_mean": s // (w * h),
+                }
+            )
+        out = pd.DataFrame(
+            rows, columns=["width", "height", "n_px", "px_sum", "px_mean"]
+        )
         out.insert(0, "doc_id", pdf["doc_id"].to_numpy())
         yield out
 
 
-@register("mm_decode_features")  # stubbed decoder => rows-only check
-def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary payload -> typed features via mapInPandas.
-
-    `documents.text` stands in for an image blob (cast to binary);
-    every downstream step — Arrow batch iteration, feature schema,
-    deterministic per-row decode — is exactly what a real image
-    feature-extract job does.
-    """
-    docs = t(spark, sf_dir, "documents").select(
-        "doc_id", F.encode("text", "utf-8").alias("payload")
+@register(
+    "mm_decode_features",
+    oracle=f"""
+    SELECT doc_id, width, height, width * height AS n_px, px_sum,
+           px_sum // (width * height) AS px_mean
+    FROM (
+        SELECT doc_id, width, height,
+               CAST(list_aggregate(list_transform(
+                        range(0, width * height),
+                        i -> (doc_id * 7 + i * 13) % 256),
+                    'sum') AS BIGINT) AS px_sum
+        FROM (SELECT doc_id,
+                     CAST({_W_EXPR} AS BIGINT) AS width,
+                     CAST({_H_EXPR} AS BIGINT) AS height
+              FROM documents)
     )
-    return docs.mapInPandas(
+    """,
+)
+def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary image payload -> typed features, two mapInPandas stages:
+    encode (rows -> SIMG binary column) then decode (parse magic +
+    header + pixel buffer with numpy, emit width/height/pixel stats).
+
+    The binary column genuinely crosses an Arrow boundary between the
+    stages, and the decoder genuinely parses it — the oracle rebuilds
+    the same features from the pixel-function definition in pure SQL,
+    so this op is value-hash-checked end to end (it was rows-only while
+    the decoder was a crc32 stub)."""
+    return _payloads(spark, sf_dir).mapInPandas(
         _decode_batches,
-        schema="doc_id long, n_bytes long, checksum long, width long, height long",
+        schema=(
+            "doc_id long, width long, height long, n_px long, "
+            "px_sum long, px_mean long"
+        ),
     )
 
 
@@ -105,37 +176,34 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-RESIZE_TARGET = (64, 64)  # thumbnail W x H a real resize would emit
-RESIZE_BYTE_CAP = 256  # stub: output payload = first N chars re-encoded
-
-
 def _resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """mapInPandas kernel for the resize stage. The STUB 'resize'
-    truncates the decoded payload to RESIZE_BYTE_CAP characters and
-    fingerprints the result — a real build swaps the body for
-    `PIL.Image.resize` and emits re-encoded bytes. Deterministic, so
-    the oracle can reproduce the fingerprint from the source column."""
-    import hashlib
+    """mapInPandas kernel for the resize stage: REAL 2x2 mean-pool over
+    the decoded pixel grid (odd trailing row/col cropped, floor mean —
+    the standard integer box filter)."""
+    import numpy as np
 
     for pdf in batches:
         if not len(pdf):
             continue
-        out_rows = []
+        rows = []
         for payload in pdf["payload"]:
-            text = bytes(payload).decode("utf-8")
-            resized = text[:RESIZE_BYTE_CAP].encode("utf-8")
-            out_rows.append(
+            w, h, px = _parse_img(bytes(payload))
+            ow, oh = w // 2, h // 2
+            a = px.reshape(h, w)[: oh * 2, : ow * 2].astype(np.int64)
+            pooled = (
+                a[0::2, 0::2] + a[0::2, 1::2] + a[1::2, 0::2] + a[1::2, 1::2]
+            ) // 4
+            rows.append(
                 {
-                    "n_bytes_in": len(payload),
-                    "n_bytes_out": len(resized),
-                    "resized_md5": hashlib.md5(resized).hexdigest(),
-                    "out_w": RESIZE_TARGET[0],
-                    "out_h": RESIZE_TARGET[1],
+                    "in_w": w,
+                    "in_h": h,
+                    "out_w": ow,
+                    "out_h": oh,
+                    "out_px_sum": int(pooled.sum()),
                 }
             )
         out = pd.DataFrame(
-            out_rows,
-            columns=["n_bytes_in", "n_bytes_out", "resized_md5", "out_w", "out_h"],
+            rows, columns=["in_w", "in_h", "out_w", "out_h", "out_px_sum"]
         )
         out.insert(0, "doc_id", pdf["doc_id"].to_numpy())
         yield out
@@ -144,27 +212,37 @@ def _resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 @register(
     "mm_resize",
     oracle=f"""
-    SELECT doc_id,
-           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes_in,
-           CAST(octet_length(encode(substring(text, 1, {RESIZE_BYTE_CAP})))
-               AS BIGINT) AS n_bytes_out,
-           md5(substring(text, 1, {RESIZE_BYTE_CAP})) AS resized_md5,
-           CAST({RESIZE_TARGET[0]} AS BIGINT) AS out_w,
-           CAST({RESIZE_TARGET[1]} AS BIGINT) AS out_h
-    FROM documents
+    SELECT doc_id, width AS in_w, height AS in_h,
+           width // 2 AS out_w, height // 2 AS out_h,
+           CAST(list_aggregate(list_transform(
+                    range(0, (width // 2) * (height // 2)),
+                    j -> ((doc_id * 7 + ((j // (width // 2)) * 2 * width
+                                         + (j % (width // 2)) * 2) * 13) % 256
+                        + (doc_id * 7 + ((j // (width // 2)) * 2 * width
+                                         + (j % (width // 2)) * 2 + 1) * 13) % 256
+                        + (doc_id * 7 + (((j // (width // 2)) * 2 + 1) * width
+                                         + (j % (width // 2)) * 2) * 13) % 256
+                        + (doc_id * 7 + (((j // (width // 2)) * 2 + 1) * width
+                                         + (j % (width // 2)) * 2 + 1) * 13) % 256
+                          ) // 4),
+                'sum') AS BIGINT) AS out_px_sum
+    FROM (SELECT doc_id,
+                 CAST({_W_EXPR} AS BIGINT) AS width,
+                 CAST({_H_EXPR} AS BIGINT) AS height
+          FROM documents)
     """,
 )
 def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary payload -> resized payload metadata via mapInPandas (the
-    resize stage of an image pipeline; decoder/encoder stubbed, the
-    Spark-side batch plumbing real — see module docstring)."""
-    docs = t(spark, sf_dir, "documents").select(
-        "doc_id", F.encode("text", "utf-8").alias("payload")
-    )
-    return docs.mapInPandas(
+    """Binary image payload -> 2x downsample via mapInPandas: decode the
+    SIMG buffer, mean-pool 2x2 pixel blocks with numpy, emit the output
+    geometry + pooled pixel sum. The oracle recomputes the identical
+    box filter from the pixel-function definition in SQL (lambda over
+    the output-pixel index space), so the resize arithmetic itself is
+    hash-checked — this stopped being a truncate-and-md5 stub."""
+    return _payloads(spark, sf_dir).mapInPandas(
         _resize_batches,
         schema=(
-            "doc_id long, n_bytes_in long, n_bytes_out long, "
-            "resized_md5 string, out_w long, out_h long"
+            "doc_id long, in_w long, in_h long, out_w long, out_h long, "
+            "out_px_sum long"
         ),
     )
