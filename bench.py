@@ -101,7 +101,13 @@ def main() -> int:
         qs[qid](spark, sf_dir).write.mode("overwrite").format("noop").save()
         return round(time.perf_counter() - t0, 3)
 
-    run("join_multiway_star")  # warm up JVM/codegen before timing
+    # Warm up before timing: JVM/codegen (join_multiway_star) AND the
+    # Python/Arrow worker pool (udf_grouped_map) — daemon worker
+    # fork/spawn otherwise lands on whichever pandas-UDF query runs
+    # first and added up to 1.3 s of machine-load-dependent variance to
+    # it (r2 driver bench: udf_grouped_map 4.24 s vs 2.95 s anchor).
+    run("join_multiway_star")
+    run("udf_grouped_map")
 
     times: dict[str, float] = {}
     for qid in HEADLINE:
