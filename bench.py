@@ -68,6 +68,12 @@ HEADLINE = [
     "udf_pandas_iter",
     "fn_variant_json",
     "fn_xml_parse",
+    "udf_window_agg_fast",
+    "cdc_apply",
+    "dim_scd2",
+    "join_spatial_grid",
+    "text_ngram_topk",
+    "scan_log_regex",
 ]
 
 

@@ -29,6 +29,10 @@ from census_postgres_py_spark.operators import (  # noqa: F401
 from census_postgres_py_spark.streaming import jobs  # noqa: F401
 from census_postgres_py_spark import pipeline  # noqa: F401
 from census_postgres_py_spark.operators import (  # noqa: F401
+    cdc,
+    geo,
+    quality,
+    analytics,
     multimodal,
     aggregates,
     dedup,

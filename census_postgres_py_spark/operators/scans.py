@@ -660,3 +660,59 @@ def scan_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     spark.dataSource.register(SeqCsvSource)
     return spark.read.format("acs_seqcsv").option("path", path).load()
+
+
+_LOG_LINE_RE = r"^(\d{4}-\d{2}-\d{2}) \[(\w+)\] order=(\d+) amount_cents=(\d+)$"
+
+
+@register(
+    "scan_log_regex",
+    oracle="""
+    SELECT CAST(o_orderdate AS DATE) AS day,
+           CASE o_orderstatus WHEN 'F' THEN 'INFO'
+                              WHEN 'O' THEN 'WARN'
+                              ELSE 'ERROR' END AS level,
+           o_orderkey AS o_key,
+           CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS amount_cents
+    FROM orders
+    """,
+)
+def scan_log_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured log ingestion: render orders as app-log lines,
+    write a real text file, read it back and parse with
+    `regexp_extract` into typed columns — the grep-to-table path every
+    pipeline needs for request/audit logs.
+
+    Scale notes: text scan splits by line ranges (parallel like any
+    file source); the four regexp_extract calls share one codegen'd
+    pattern match per line; values round-trip exactly because every
+    field is rendered from integers/dates (no float-to-text
+    ambiguity). The oracle recomputes the fields straight from the
+    source table, so the whole render->write->scan->parse loop is
+    hash-checked."""
+    o = t(spark, sf_dir, "orders")
+    level = (
+        F.when(F.col("o_orderstatus") == "F", "INFO")
+        .when(F.col("o_orderstatus") == "O", "WARN")
+        .otherwise("ERROR")
+    )
+    line = F.concat_ws(
+        "",
+        F.col("o_orderdate").cast("date").cast("string"),
+        F.lit(" ["), level, F.lit("] order="),
+        F.col("o_orderkey").cast("string"),
+        F.lit(" amount_cents="),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long").cast("string"),
+    )
+    path = _scratch("app_log_lines")
+    o.select(line.alias("value")).write.mode("overwrite").text(path)
+    raw = spark.read.text(path)
+    return raw.select(
+        F.regexp_extract("value", _LOG_LINE_RE, 1).cast("date").alias("day"),
+        F.regexp_extract("value", _LOG_LINE_RE, 2).alias("level"),
+        F.regexp_extract("value", _LOG_LINE_RE, 3).cast("long").alias("o_key"),
+        F.regexp_extract("value", _LOG_LINE_RE, 4)
+        .cast("long")
+        .alias("amount_cents"),
+    )

@@ -317,3 +317,47 @@ def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
             "<NUM>",
         ).alias("redacted"),
     )
+
+
+@register(
+    "text_ngram_topk",
+    oracle="""
+    WITH toks AS (
+        SELECT list_filter(string_split(text, ' '), x -> x <> '') AS w
+        FROM documents
+    ), bg AS (
+        SELECT unnest(list_transform(range(1, len(w)),
+                                     i -> w[i] || ' ' || w[i + 1])) AS bigram
+        FROM toks
+    )
+    SELECT bigram, CAST(count(*) AS BIGINT) AS freq
+    FROM bg GROUP BY bigram
+    ORDER BY freq DESC, bigram
+    LIMIT 20
+    """,
+)
+def text_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-20 word bigrams — the n-gram frequency sweep LM
+    corpus analysis starts with (burstiness, boilerplate, contamination
+    checks all read this table).
+
+    Bigrams are formed array-side (`transform` over token indices — no
+    explode of unigrams then self-join), exploded once, counted in one
+    combinable agg, and the top-k is `ORDER BY ... LIMIT`, which Spark
+    executes as TakeOrderedAndProject: per-partition heaps + a 20-row
+    driver merge, never a global sort — the only scale-safe global
+    top-k. Total tie-break (freq desc, bigram asc) keeps the row set
+    deterministic."""
+    docs = t(spark, sf_dir, "documents").select(tokens("text").alias("w"))
+    bigrams = docs.filter(F.size("w") > 1).select(
+        F.explode(
+            F.expr("transform(sequence(1, size(w) - 1),"
+                   " i -> concat(w[i - 1], ' ', w[i]))")
+        ).alias("bigram")
+    )
+    return (
+        bigrams.groupBy("bigram")
+        .agg(F.count("*").alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("bigram"))
+        .limit(20)
+    )

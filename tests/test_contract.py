@@ -70,6 +70,11 @@ SURVEY_IDS = {
     "pipeline_dedup_e2e",
     "join_skew_salted", "sink_merge_upsert",
     "dedup_clusters_cc", "sink_bucketed",
+    # §2.12 warehouse ops
+    "cdc_apply", "dim_scd2", "dq_rule_engine", "agg_regression",
+    "agg_retention_cohort", "scan_log_regex", "text_ngram_topk",
+    # §2.13 geospatial
+    "fn_geo_haversine", "join_spatial_grid",
 }
 
 
