@@ -33,19 +33,30 @@ BROADCAST_DIMS = ("region", "nation")
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Columnar scan of one fixture table.
 
-    ``events.parquet`` stores ``ts`` as parquet INT64 TIMESTAMP(NANOS),
-    which Spark 4.x rejects at read time (PARQUET_TYPE_ILLEGAL). We read
-    it as a raw nanosecond long via ``nanosAsLong`` and rebuild a
-    microsecond timestamp — DuckDB (the oracle) reads the same file at
+    Some generations of ``events.parquet`` store ``ts`` as parquet INT64
+    TIMESTAMP(NANOS), which Spark 4.x rejects at read time
+    (PARQUET_TYPE_ILLEGAL). We read those via ``nanosAsLong`` and rebuild
+    a microsecond timestamp — DuckDB (the oracle) reads the same file at
     microsecond precision, so ``ts div 1000`` keeps both sides exactly
-    equal. The conf is set here, not only in session.py, because the
-    driver supplies its own SparkSession.
+    equal. Newer generations store a plain TIMESTAMP(MICROS), which both
+    engines read natively — detect by the arrived-at Spark type. The conf
+    is set here, not only in session.py, because the driver supplies its
+    own SparkSession.
     """
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes)["ts"] == "bigint":  # legacy NANOS
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # Newer testdata generations write TIMESTAMP(MICROS, isAdjustedToUTC=
+    # false), which Spark reads as TIMESTAMP_NTZ. Session tz is UTC
+    # (session.py), so casting to TIMESTAMP is epoch-exact, matches how
+    # DuckDB (the oracle) reads the same file, and keeps unix_millis()/
+    # window()/watermark call sites — which require LTZ — type-valid.
+    ntz = [c for c, d in df.dtypes if d == "timestamp_ntz"]
+    for c in ntz:
+        df = df.withColumn(c, F.col(c).cast("timestamp"))
+    return df
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
