@@ -25,6 +25,7 @@ from census_postgres_py_spark.operators import (  # noqa: F401
     sampling,
     similarity,
     sketches,
+    scalar_ext,
 )
 from census_postgres_py_spark.streaming import jobs  # noqa: F401
 from census_postgres_py_spark import pipeline  # noqa: F401

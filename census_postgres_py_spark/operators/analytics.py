@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from census_postgres_py_spark.registry import register
 from census_postgres_py_spark.tables import t
@@ -140,4 +141,84 @@ def agg_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("w") - F.col("cw")).cast("int").alias("week_offset"),
         )
         .agg(F.count("*").alias("n_users"))
+    )
+
+
+@register(
+    "win_moving_regression",
+    oracle=f"""
+    WITH base AS (
+        SELECT o_custkey, o_orderkey,
+               datediff('day', DATE '{_X_EPOCH}',
+                        CAST(o_orderdate AS DATE)) AS x,
+               CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS y
+        FROM orders
+    ), w AS (
+        SELECT o_custkey, o_orderkey,
+               CAST(count(*) OVER win AS BIGINT)  AS n,
+               sum(x)     OVER win AS sx,
+               sum(y)     OVER win AS sy,
+               sum(x * x) OVER win AS sxx,
+               sum(x * y) OVER win AS sxy
+        FROM base
+        WINDOW win AS (PARTITION BY o_custkey
+                       ORDER BY x, o_orderkey
+                       ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    )
+    SELECT o_custkey, o_orderkey, n AS n_window,
+           CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+                ELSE floor(CAST(n * sxy - sx * sy AS DOUBLE)
+                           / CAST(n * sxx - sx * sx AS DOUBLE)
+                           * 1000000 + 0.5) / 1000000
+           END AS slope_cents_per_day
+    FROM w
+    """,
+)
+def win_moving_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling per-customer OLS price trend over the trailing 7 orders.
+
+    The moving-regression trick: all five OLS sufficient statistics are
+    WINDOW SUMS over the same ROWS frame, so the whole fit is one
+    window pass of integer arithmetic (exact, merge-order-free) plus a
+    final double division — no self-join against the trailing rows, no
+    UDAF. One shuffle on o_custkey; the frame is bounded so state per
+    row is O(1). The same five-sums shape computes rolling variance,
+    covariance, and beta at 100 TB.
+    """
+    o = t(spark, sf_dir, "orders")
+    base = o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit(_X_EPOCH).cast("date")
+        ).alias("x"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("y"),
+    )
+    win = (
+        Window.partitionBy("o_custkey")
+        .orderBy("x", "o_orderkey")
+        .rowsBetween(-6, 0)
+    )
+    x, y = F.col("x"), F.col("y")
+    w = base.select(
+        "o_custkey",
+        "o_orderkey",
+        F.count("*").over(win).alias("n"),
+        F.sum(x).over(win).alias("sx"),
+        F.sum(y).over(win).alias("sy"),
+        F.sum(x * x).over(win).alias("sxx"),
+        F.sum(x * y).over(win).alias("sxy"),
+    )
+    n, sx, sy, sxx, sxy = (F.col(c) for c in ("n", "sx", "sy", "sxx", "sxy"))
+    den = n * sxx - sx * sx
+    slope = (n * sxy - sx * sy).cast("double") / den.cast("double")
+    return w.select(
+        "o_custkey",
+        "o_orderkey",
+        n.alias("n_window"),
+        F.when(
+            den != 0, F.floor(slope * 1000000 + F.lit(0.5)) / 1000000
+        ).alias("slope_cents_per_day"),
     )

@@ -246,3 +246,132 @@ def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
             "out_px_sum long"
         ),
     )
+
+
+AUD_MAGIC = b"SAUD"
+# Audio twin of SIMG: a self-defined PCM format whose sample function
+# is affine-quadratic in (doc_id, i) so the SQL oracle can regenerate
+# it: sr = 8000 + (doc_id%8)*1000 Hz, n = 256 + doc_id%256 samples,
+# s[i] = ((doc_id*11 + 3*i*i) % 256) - 128 (signed 8-bit PCM).
+_SR_EXPR = "8000 + (doc_id % 8) * 1000"
+_N_EXPR = "256 + doc_id % 256"
+
+
+def _encode_audio(doc_id: int) -> bytes:
+    """Pack a real SAUD payload: magic + u16be rate + u32be count +
+    signed 8-bit PCM samples."""
+    import numpy as np
+
+    sr = 8000 + (doc_id % 8) * 1000
+    n = 256 + doc_id % 256
+    i = np.arange(n, dtype=np.int64)
+    s = ((doc_id * 11 + 3 * i * i) % 256 - 128).astype(np.int8)
+    return AUD_MAGIC + struct.pack(">HI", sr, n) + s.tobytes()
+
+
+def _audio_encode_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        if not len(pdf):
+            continue
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"].to_numpy(),
+                "payload": [_encode_audio(int(d)) for d in pdf["doc_id"]],
+            }
+        )
+
+
+def _audio_decode_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """REAL decode: magic check, header unpack, vectorized numpy
+    feature extraction over the PCM buffer."""
+    import numpy as np
+
+    for pdf in batches:
+        if not len(pdf):
+            continue
+        rows = []
+        for payload in pdf["payload"]:
+            raw = bytes(payload)
+            if raw[:4] != AUD_MAGIC:
+                raise ValueError("not a SAUD payload")
+            sr, n = struct.unpack(">HI", raw[4:10])
+            s = np.frombuffer(raw[10 : 10 + n], dtype=np.int8).astype(np.int64)
+            rms = float(np.sqrt(np.mean((s.astype(np.float64)) ** 2)))
+            zc = int(np.sum(s[:-1] * s[1:] < 0))
+            rows.append(
+                {
+                    "sample_rate": sr,
+                    "n_samples": n,
+                    "duration_ms": n * 1000 // sr,
+                    "rms": float(np.floor(rms * 1e6 + 0.5) / 1e6),
+                    "n_zero_cross": zc,
+                }
+            )
+        out = pd.DataFrame(
+            rows,
+            columns=[
+                "sample_rate",
+                "n_samples",
+                "duration_ms",
+                "rms",
+                "n_zero_cross",
+            ],
+        )
+        out.insert(0, "doc_id", pdf["doc_id"].to_numpy())
+        yield out
+
+
+@register(
+    "mm_audio_features",
+    oracle=f"""
+    WITH params AS (
+        SELECT doc_id,
+               CAST({_SR_EXPR} AS BIGINT) AS sr,
+               CAST({_N_EXPR} AS BIGINT) AS n
+        FROM documents
+    ), samples AS (
+        SELECT p.doc_id, p.sr, p.n, t.i,
+               ((p.doc_id * 11 + 3 * t.i * t.i) % 256) - 128 AS s
+        FROM params p, range(0, 512) t(i)
+        WHERE t.i < p.n
+    ), lagged AS (
+        SELECT doc_id, sr, n, s,
+               lag(s) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+        FROM samples
+    )
+    SELECT doc_id,
+           CAST(any_value(sr) AS BIGINT) AS sample_rate,
+           CAST(any_value(n) AS BIGINT) AS n_samples,
+           any_value(n) * 1000 // any_value(sr) AS duration_ms,
+           floor(sqrt(avg(CAST(s * s AS DOUBLE))) * 1000000 + 0.5)
+               / 1000000 AS rms,
+           CAST(sum(CASE WHEN prev IS NOT NULL AND prev * s < 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_cross
+    FROM lagged GROUP BY doc_id
+    """,
+)
+def mm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary audio payload -> typed features (rate, duration, RMS
+    loudness, zero-crossing count), same two-stage mapInPandas shape
+    as mm_decode_features: encode packs real SAUD bytes, decode
+    parses the header and runs vectorized numpy over the PCM buffer.
+
+    Zero-crossings and RMS are the standard cheap audio screeners a
+    training pipeline gates on before expensive transcription; the
+    oracle regenerates both from the sample function in SQL, so the
+    whole binary round trip is value-hash-checked."""
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+    payloads = docs.mapInPandas(
+        _audio_encode_batches, schema="doc_id long, payload binary"
+    )
+    return payloads.mapInPandas(
+        _audio_decode_batches,
+        schema=(
+            "doc_id long, sample_rate long, n_samples long, "
+            "duration_ms long, rms double, n_zero_cross long"
+        ),
+    )

@@ -83,3 +83,62 @@ def dq_rule_engine(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1000000.0
         ).alias("pass_rate"),
     )
+
+
+@register(
+    "dq_partition_drift",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2
+    ), med AS (
+        SELECT event_type, median(n) AS med FROM daily GROUP BY event_type
+    ), dev AS (
+        SELECT d.event_type, d.day, d.n, m.med,
+               abs(d.n - m.med) AS adev
+        FROM daily d JOIN med m USING (event_type)
+    ), mad AS (
+        SELECT event_type, median(adev) AS mad FROM dev GROUP BY event_type
+    )
+    SELECT d.event_type, d.day, d.n,
+           floor(d.med * 100 + 0.5) / 100 AS med,
+           floor(m.mad * 100 + 0.5) / 100 AS mad,
+           CASE WHEN abs(d.n - d.med) > 3 * greatest(m.mad, 0.5)
+                THEN true ELSE false END AS is_anomaly
+    FROM dev d JOIN mad m USING (event_type)
+    """,
+)
+def dq_partition_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-level volume drift detection: flag (event_type, day)
+    partitions whose row count deviates > 3 robust sigmas (MAD) from
+    that type's median daily volume.
+
+    This is the freshness/completeness monitor a 100 TB ingest runs
+    after every load: the heavy pass is ONE combinable count per
+    partition key; the median/MAD passes run on the already-aggregated
+    (types x days) frame — thousands of rows, never the raw table.
+    Median is exact (`F.median`), mirrored manually in the oracle CTE
+    rather than trusting engine `mad()` variants to agree.
+    """
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(F.count("*").alias("n"))
+    med = daily.groupBy("event_type").agg(F.median("n").alias("med"))
+    dev = daily.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("n") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(F.median("adev").alias("mad"))
+    out = dev.join(F.broadcast(mad), "event_type")
+    return out.select(
+        "event_type",
+        "day",
+        "n",
+        (F.floor(F.col("med") * 100 + F.lit(0.5)) / 100).alias("med"),
+        (F.floor(F.col("mad") * 100 + F.lit(0.5)) / 100).alias("mad"),
+        (
+            F.abs(F.col("n") - F.col("med"))
+            > 3 * F.greatest(F.col("mad"), F.lit(0.5))
+        ).alias("is_anomaly"),
+    )

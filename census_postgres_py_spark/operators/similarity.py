@@ -29,7 +29,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from census_postgres_py_spark.functions.vector import cosine, dot
+from census_postgres_py_spark.functions.vector import cosine, dot, l2_norm
 from census_postgres_py_spark.registry import register
 from census_postgres_py_spark.tables import t
 
@@ -277,4 +277,119 @@ def join_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("cos_raw", 6).alias("cos_sim"),
             "rn",
         )
+    )
+
+
+EMB_DIM = 64
+
+
+def _r6(c: Column) -> Column:
+    """Repo-wide half-up 6dp rounding (identical on both engines)."""
+    return F.floor(c * 1000000 + F.lit(0.5)) / 1000000
+
+
+@register(
+    "emb_dim_stats",
+    oracle=f"""
+    SELECT CAST(i AS BIGINT) AS pos,
+           floor(avg(CAST(embedding[i] AS DOUBLE)) * 1000000 + 0.5)
+               / 1000000 AS mean_val,
+           floor(stddev_samp(CAST(embedding[i] AS DOUBLE)) * 1000000 + 0.5)
+               / 1000000 AS std_val
+    FROM embeddings, range(1, {EMB_DIM + 1}) t(i)
+    GROUP BY i
+    """,
+)
+def emb_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension mean/std of the embedding corpus (drift monitor).
+
+    The Spark plan is ONE pass with `Summarizer.metrics("mean","std")`
+    over the vector column: combinable per-partition moment vectors,
+    merged tree-wise — no explode, no 64x row inflation. The oracle
+    (and the naive plan) is the posexplode/groupBy shape, which at
+    100 TB would shuffle dim-times the corpus; Summarizer moves the
+    same arithmetic into a fixed-width accumulator per partition.
+    """
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+    from pyspark.ml.stat import Summarizer
+
+    e = t(spark, sf_dir, "embeddings").select(
+        array_to_vector(F.col("embedding")).alias("v")
+    )
+    row = e.agg(
+        Summarizer.metrics("mean", "std").summary(F.col("v")).alias("s")
+    ).select(
+        vector_to_array("s.mean").alias("mean_arr"),
+        vector_to_array("s.std").alias("std_arr"),
+    )
+    return row.select(
+        F.posexplode("mean_arr").alias("pos0", "mean_raw"), "std_arr"
+    ).select(
+        (F.col("pos0") + 1).cast("long").alias("pos"),
+        _r6(F.col("mean_raw")).alias("mean_val"),
+        _r6(F.element_at("std_arr", F.col("pos0") + 1)).alias("std_val"),
+    )
+
+
+@register(
+    "emb_centroid_label",
+    oracle=f"""
+    WITH cent AS (
+        SELECT label, i AS pos, avg(CAST(embedding[i] AS DOUBLE)) AS m
+        FROM embeddings, range(1, {EMB_DIM + 1}) t(i)
+        GROUP BY label, i
+    ), carr AS (
+        SELECT label, list(m ORDER BY pos) AS centroid
+        FROM cent GROUP BY label
+    ), scored AS (
+        SELECT e.label,
+               list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                      c.centroid) AS cs
+        FROM embeddings e JOIN carr c USING (label)
+    ), norms AS (
+        SELECT label, sqrt(list_dot_product(centroid, centroid)) AS nrm
+        FROM carr
+    )
+    SELECT s.label,
+           CAST(count(*) AS BIGINT) AS n_vectors,
+           floor(any_value(n.nrm) * 1000000 + 0.5) / 1000000
+               AS centroid_norm,
+           floor(avg(s.cs) * 1000000 + 0.5) / 1000000 AS avg_cos
+    FROM scored s JOIN norms n ON s.label = n.label
+    GROUP BY s.label
+    """,
+)
+def emb_centroid_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid + intra-class cohesion (avg cosine to own
+    centroid) — the embedding-quality report a training-data pipeline
+    runs after labeling/clustering.
+
+    Two passes: (1) `Summarizer.mean` per label — fixed-width
+    combinable accumulators, one small shuffle on label; (2) the
+    centroid table (|labels| rows) broadcasts back onto the corpus and
+    cosine runs as a JVM `zip_with` fold. No explode, no driver
+    collect; pass 2's per-row cost is O(dim) regardless of corpus size.
+    """
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+    from pyspark.ml.stat import Summarizer
+
+    e = t(spark, sf_dir, "embeddings").select("vec_id", "embedding", "label")
+    cent = (
+        e.select("label", array_to_vector(F.col("embedding")).alias("v"))
+        .groupBy("label")
+        .agg(
+            Summarizer.mean(F.col("v")).alias("c"),
+            F.count("*").alias("n_vectors"),
+        )
+        .select(
+            "label", "n_vectors", vector_to_array(F.col("c")).alias("centroid")
+        )
+    )
+    scored = e.join(F.broadcast(cent), "label").withColumn(
+        "cs", cosine(F.col("embedding"), F.col("centroid"))
+    )
+    return scored.groupBy("label").agg(
+        F.count("*").cast("long").alias("n_vectors"),
+        _r6(F.first(l2_norm(F.col("centroid")))).alias("centroid_norm"),
+        _r6(F.avg("cs")).alias("avg_cos"),
     )

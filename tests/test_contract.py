@@ -75,6 +75,11 @@ SURVEY_IDS = {
     "agg_retention_cohort", "scan_log_regex", "text_ngram_topk",
     # §2.13 geospatial
     "fn_geo_haversine", "join_spatial_grid",
+    # §2.14 round-3 extensions
+    "fn_bitwise", "fn_datetime_arith", "fn_ip_parse",
+    "emb_dim_stats", "emb_centroid_label",
+    "win_moving_regression", "join_interval_bin",
+    "dq_partition_drift", "mm_audio_features",
 }
 
 

@@ -1,0 +1,155 @@
+"""Targeted checks for the round-3 extension operators (§2.14):
+plan-shape pins (the 100 TB mandate) plus semantic invariants the
+DuckDB oracle can't express (binary-format errors, losslessness of
+the interval binning, Summarizer vs naive parity).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from census_postgres_py_spark.plans import (
+    count_exchanges,
+    executed_plan,
+    has_cartesian,
+)
+from tests.conftest import SF_SMOKE
+
+
+def test_scalar_ext_shuffle_free(spark, queries):
+    """fn_bitwise / fn_datetime_arith are pure projections: zero
+    exchanges, so they fuse into the scan at any scale."""
+    for qid in ("fn_bitwise", "fn_datetime_arith"):
+        df = queries[qid](spark, SF_SMOKE)
+        assert count_exchanges(df) == 0, qid
+
+
+def test_ip_parse_single_shuffle(spark, queries):
+    """fn_ip_parse's only exchange is the distinct on user_id."""
+    df = queries["fn_ip_parse"](spark, SF_SMOKE)
+    assert count_exchanges(df) <= 2  # partial+final of one distinct
+
+
+def test_interval_bin_no_cartesian_and_lossless(spark, queries):
+    """The binned candidate join must stay an equi-join, and binning
+    must find EXACTLY the brute-force overlap pairs (bin >= max span
+    makes it lossless — this is the recall proof, run on real data)."""
+    from census_postgres_py_spark.tables import t
+
+    df = queries["join_interval_bin"](spark, SF_SMOKE)
+    assert not has_cartesian(df)
+
+    o = t(spark, SF_SMOKE, "orders")
+    iv = o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1992-01-01").cast("date")
+        ).alias("s"),
+    ).withColumn("e", F.col("s") + (F.col("o_orderkey") % 20) + 5)
+    a = iv.select(
+        "o_custkey",
+        F.col("o_orderkey").alias("a_key"),
+        F.col("s").alias("a_s"),
+        F.col("e").alias("a_e"),
+    )
+    b = iv.select(
+        F.col("o_custkey").alias("b_cust"),
+        F.col("o_orderkey").alias("b_key"),
+        F.col("s").alias("b_s"),
+        F.col("e").alias("b_e"),
+    )
+    brute = (
+        a.join(b, (F.col("o_custkey") == F.col("b_cust")))
+        .filter(F.col("a_key") < F.col("b_key"))
+        .filter((F.col("a_s") <= F.col("b_e")) & (F.col("b_s") <= F.col("a_e")))
+        .count()
+    )
+    assert df.count() == brute
+
+
+def test_emb_ops_no_explode_shuffle(spark, queries):
+    """emb_dim_stats must NOT contain a posexplode of the corpus
+    (Generate before the aggregate) — the whole point is the
+    fixed-width Summarizer accumulator. The tiny posexplode of the
+    1-row result frame is fine: assert the Generate sits above the
+    aggregate, not below it."""
+    df = queries["emb_dim_stats"](spark, SF_SMOKE)
+    plan = executed_plan(df)
+    gen = plan.find("Generate")
+    agg = plan.find("ObjectHashAggregate")
+    if agg == -1:
+        agg = plan.find("HashAggregate")
+    # plans print top-down: the Generate (explode of the 64-wide
+    # result) must appear ABOVE (i.e. earlier than) the aggregate.
+    assert gen != -1 and agg != -1 and gen < agg
+
+
+def test_emb_centroid_label_broadcasts(spark, queries):
+    """Centroid table (|labels| rows) must broadcast back onto the
+    corpus — a shuffled join here would re-shuffle 100 TB."""
+    df = queries["emb_centroid_label"](spark, SF_SMOKE)
+    assert "BroadcastHashJoin" in executed_plan(df)
+
+
+def test_audio_decode_rejects_bad_magic():
+    from census_postgres_py_spark.operators.multimodal import (
+        _audio_decode_batches,
+    )
+    import pandas as pd
+
+    bad = pd.DataFrame({"doc_id": [1], "payload": [b"NOPE" + b"\x00" * 16]})
+    with pytest.raises(ValueError, match="SAUD"):
+        list(_audio_decode_batches(iter([bad])))
+
+
+def test_audio_roundtrip_matches_definition():
+    """Decode(encode(doc_id)) must reproduce the sample-function
+    features exactly (numpy path vs closed form)."""
+    import numpy as np
+
+    from census_postgres_py_spark.operators.multimodal import (
+        _audio_decode_batches,
+        _encode_audio,
+    )
+    import pandas as pd
+
+    doc_id = 137
+    pdf = pd.DataFrame({"doc_id": [doc_id], "payload": [_encode_audio(doc_id)]})
+    out = pd.concat(list(_audio_decode_batches(iter([pdf]))))
+    sr = 8000 + (doc_id % 8) * 1000
+    n = 256 + doc_id % 256
+    i = np.arange(n, dtype=np.int64)
+    s = (doc_id * 11 + 3 * i * i) % 256 - 128
+    assert int(out["sample_rate"].iloc[0]) == sr
+    assert int(out["n_samples"].iloc[0]) == n
+    assert int(out["duration_ms"].iloc[0]) == n * 1000 // sr
+    assert int(out["n_zero_cross"].iloc[0]) == int(np.sum(s[:-1] * s[1:] < 0))
+
+
+def test_moving_regression_null_when_degenerate(spark, queries):
+    """Rows whose trailing frame has zero x-variance (single order)
+    must yield NULL slope, not a divide-by-zero artifact."""
+    from tests.conftest import SF_T2
+
+    df = queries["win_moving_regression"](spark, SF_T2)
+    first_rows = df.filter(F.col("n_window") == 1)
+    assert (
+        first_rows.filter(F.col("slope_cents_per_day").isNotNull()).count()
+        == 0
+    )
+
+
+def test_partition_drift_flags_are_consistent(spark, queries):
+    """is_anomaly must equal the |n-med| > 3*max(mad,0.5) predicate
+    recomputed from the returned columns (self-consistency)."""
+    df = queries["dq_partition_drift"](spark, SF_SMOKE)
+    bad = df.filter(
+        (
+            F.abs(F.col("n") - F.col("med"))
+            > 3 * F.greatest(F.col("mad"), F.lit(0.5))
+        )
+        != F.col("is_anomaly")
+    )
+    assert bad.count() == 0
