@@ -74,6 +74,15 @@ HEADLINE = [
     "join_spatial_grid",
     "text_ngram_topk",
     "scan_log_regex",
+    "emb_dim_stats",
+    "emb_centroid_label",
+    "join_interval_bin",
+    "win_moving_regression",
+    "mm_audio_features",
+    "fn_ip_parse",
+    "win_rolling_median",
+    "agg_entropy",
+    "graph_pagerank_iter",
 ]
 
 

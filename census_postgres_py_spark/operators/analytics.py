@@ -222,3 +222,187 @@ def win_moving_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
             den != 0, F.floor(slope * 1000000 + F.lit(0.5)) / 1000000
         ).alias("slope_cents_per_day"),
     )
+
+
+@register(
+    "win_rolling_median",
+    oracle=f"""
+    WITH base AS (
+        SELECT o_custkey, o_orderkey,
+               datediff('day', DATE '{_X_EPOCH}',
+                        CAST(o_orderdate AS DATE)) AS x,
+               CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS y
+        FROM orders
+    )
+    SELECT o_custkey, o_orderkey,
+           floor(median(CAST(y AS DOUBLE))
+                     OVER (PARTITION BY o_custkey ORDER BY x, o_orderkey
+                           ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+                 * 100 + 0.5) / 100 AS med_cents
+    FROM base
+    """,
+)
+def win_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling median order price over the trailing 7 orders — the
+    robust twin of win_moving_regression's mean-based trend (outlier
+    orders don't drag it).
+
+    Spark evaluates `percentile(.., 0.5)` as a window aggregate over
+    the bounded ROWS frame: O(frame) work per row, no self-join, no
+    UDF. Both engines interpolate the even-count middle on DOUBLE
+    input (DuckDB `median` on integers would take the lower middle —
+    the explicit cast pins the shared semantics).
+    """
+    o = t(spark, sf_dir, "orders")
+    base = o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit(_X_EPOCH).cast("date")
+        ).alias("x"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("y"),
+    )
+    win = (
+        Window.partitionBy("o_custkey")
+        .orderBy("x", "o_orderkey")
+        .rowsBetween(-6, 0)
+    )
+    med = F.expr("percentile(CAST(y AS DOUBLE), 0.5)").over(win)
+    return base.select(
+        "o_custkey",
+        "o_orderkey",
+        (F.floor(med * 100 + F.lit(0.5)) / 100).alias("med_cents"),
+    )
+
+
+@register(
+    "agg_entropy",
+    oracle="""
+    WITH per AS (
+        SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY user_id, event_type
+    )
+    SELECT user_id,
+           CAST(sum(n) AS BIGINT) AS n_events,
+           floor((log2(CAST(sum(n) AS DOUBLE))
+                  - sum(n * log2(CAST(n AS DOUBLE)))
+                    / CAST(sum(n) AS DOUBLE)) * 1000000 + 0.5)
+               / 1000000 AS entropy_bits
+    FROM per GROUP BY user_id
+    """,
+)
+def agg_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user Shannon entropy (bits) of the event-type mix — the
+    behavioral-diversity / bot-detection screener (entropy ~0 = a
+    single repeated action).
+
+    Uses the merge-friendly identity H = log2(N) − Σ n·log2(n) / N
+    over INTEGER counts: both shuffles (user×type, then user) carry
+    combinable sums only, and the single non-associative float step is
+    the final projection — same exactness discipline as agg_regression.
+    """
+    ev = t(spark, sf_dir, "events")
+    per = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("n"))
+    n = F.col("n")
+    agg = per.groupBy("user_id").agg(
+        F.sum(n).alias("N"),
+        F.sum(n * F.log2(n.cast("double"))).alias("nlogn"),
+    )
+    ent = F.log2(F.col("N").cast("double")) - F.col("nlogn") / F.col("N").cast(
+        "double"
+    )
+    return agg.select(
+        "user_id",
+        F.col("N").cast("long").alias("n_events"),
+        (F.floor(ent * 1000000 + F.lit(0.5)) / 1000000).alias("entropy_bits"),
+    )
+
+
+_PR_ITERS = 3
+_PR_DAMP = 0.85
+
+
+@register(
+    "graph_pagerank_iter",
+    oracle=f"""
+    WITH eraw AS (
+        SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem
+    ), edges AS (
+        SELECT s AS src, p + 1000000 AS dst FROM eraw
+        UNION ALL
+        SELECT p + 1000000 AS src, s AS dst FROM eraw
+    ), deg AS (
+        SELECT src, CAST(count(*) AS BIGINT) AS d FROM edges GROUP BY src
+    ), r0 AS (
+        SELECT src AS node, 1.0 AS r FROM deg
+    ), r1 AS (
+        SELECT e.dst AS node,
+               {1 - _PR_DAMP} + {_PR_DAMP} * sum(r0.r / deg.d) AS r
+        FROM edges e JOIN r0 ON e.src = r0.node JOIN deg ON e.src = deg.src
+        GROUP BY e.dst
+    ), r2 AS (
+        SELECT e.dst AS node,
+               {1 - _PR_DAMP} + {_PR_DAMP} * sum(r1.r / deg.d) AS r
+        FROM edges e JOIN r1 ON e.src = r1.node JOIN deg ON e.src = deg.src
+        GROUP BY e.dst
+    ), r3 AS (
+        SELECT e.dst AS node,
+               {1 - _PR_DAMP} + {_PR_DAMP} * sum(r2.r / deg.d) AS r
+        FROM edges e JOIN r2 ON e.src = r2.node JOIN deg ON e.src = deg.src
+        GROUP BY e.dst
+    )
+    SELECT node, floor(r * 1000000 + 0.5) / 1000000 AS rank
+    FROM r3
+    """,
+)
+def graph_pagerank_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the supplier<->part co-occurrence graph, unrolled
+    {_PR_ITERS} power iterations — the canonical iterative join+agg
+    Spark workload (same shape as label propagation / HITS / SimRank).
+
+    Edges are symmetrized with part ids offset into a disjoint id
+    space. Each iteration is edges ⋈ ranks (shuffle on src) then a
+    combinable sum per dst — the contribution sum merges
+    associatively, so 1000 executors aggregate partials tree-wise.
+    For a bounded unroll the lineage stays a static DAG (no
+    checkpoint needed); dedup_clusters_cc shows the checkpoint-per-
+    round variant for unbounded iteration. Every join key is an
+    integer; AQE handles the skewed high-degree nodes.
+    """
+    li = t(spark, sf_dir, "lineitem")
+    eraw = li.select(
+        F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p")
+    ).distinct()
+    edges = eraw.select(
+        F.col("s").alias("src"), (F.col("p") + 1000000).alias("dst")
+    ).unionAll(
+        eraw.select(
+            (F.col("p") + 1000000).alias("src"), F.col("s").alias("dst")
+        )
+    )
+    deg = edges.groupBy("src").agg(F.count("*").alias("d"))
+    # contributions always divide by the SOURCE's degree => pre-join
+    # degree once; AQE's shuffle-stage reuse serves the repeated
+    # subtree across the unrolled iterations (measured 2x faster than
+    # an eager localCheckpoint here — checkpoint pays a blocking
+    # materialization this bounded unroll doesn't need; the UNBOUNDED
+    # iteration in dedup_clusters_cc is where checkpointing wins).
+    ed = edges.join(deg, "src")
+    ranks = deg.select(F.col("src").alias("node"), F.lit(1.0).alias("r"))
+    for _ in range(_PR_ITERS):
+        ranks = (
+            ed.join(ranks, ed.src == ranks.node)
+            .groupBy(F.col("dst"))
+            .agg(
+                (
+                    F.lit(1 - _PR_DAMP)
+                    + F.lit(_PR_DAMP) * F.sum(F.col("r") / F.col("d"))
+                ).alias("r")
+            )
+            .select(F.col("dst").alias("node"), "r")
+        )
+    return ranks.select(
+        "node", (F.floor(F.col("r") * 1000000 + F.lit(0.5)) / 1000000).alias("rank")
+    )

@@ -80,6 +80,7 @@ SURVEY_IDS = {
     "emb_dim_stats", "emb_centroid_label",
     "win_moving_regression", "join_interval_bin",
     "dq_partition_drift", "mm_audio_features",
+    "win_rolling_median", "agg_entropy", "graph_pagerank_iter",
 }
 
 

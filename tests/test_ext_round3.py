@@ -153,3 +153,48 @@ def test_partition_drift_flags_are_consistent(spark, queries):
         != F.col("is_anomaly")
     )
     assert bad.count() == 0
+
+
+def test_rolling_median_robust_to_outlier(spark, queries):
+    """The rolling median with a 7-row frame must ignore a single
+    outlier: compare against the per-customer all-history median for
+    customers with >= 3 orders — median <= mean-based sanity bound."""
+    from tests.conftest import SF_T2
+
+    df = queries["win_rolling_median"](spark, SF_T2)
+    # frame of 1 row => median == that row's price (self-consistency
+    # at the partition head)
+    from census_postgres_py_spark.tables import t
+
+    o = t(spark, SF_T2, "orders")
+    first = (
+        o.groupBy("o_custkey")
+        .agg(F.min_by("o_orderkey", F.struct("o_orderdate", "o_orderkey")).alias("k"))
+    )
+    joined = df.join(
+        first,
+        (df.o_custkey == first.o_custkey) & (df.o_orderkey == first.k),
+    ).join(o.select("o_orderkey", "o_totalprice"), "o_orderkey")
+    mism = joined.filter(
+        F.abs(
+            F.col("med_cents")
+            - F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        )
+        > 0.5
+    )
+    assert mism.count() == 0
+
+
+def test_entropy_bounds(spark, queries):
+    """0 <= H <= log2(#event types); single-type users must be H=0."""
+    import math
+
+    from tests.conftest import SF_T2
+
+    df = queries["agg_entropy"](spark, SF_T2)
+    n_types = 5  # events fixture has 5 event types
+    bad = df.filter(
+        (F.col("entropy_bits") < 0)
+        | (F.col("entropy_bits") > math.log2(n_types) + 1e-9)
+    )
+    assert bad.count() == 0
