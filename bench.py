@@ -83,6 +83,8 @@ HEADLINE = [
     "win_rolling_median",
     "agg_entropy",
     "graph_pagerank_iter",
+    "sample_topk_per_group",
+    "pipeline_embedding_e2e",
 ]
 
 

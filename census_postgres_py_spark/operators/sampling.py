@@ -83,3 +83,45 @@ def sample_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("train"))
         .alias("split"),
     )
+
+
+_PER_GROUP_K = 40
+
+
+@register(
+    "sample_topk_per_group",
+    oracle=f"""
+    SELECT doc_id, source
+    FROM (
+        SELECT doc_id, source,
+               row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ) AS rn
+        FROM documents
+    ) WHERE rn <= {_PER_GROUP_K}
+    """,
+)
+def sample_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-k-per-group deterministic sample ("40 docs per source"):
+    rank each group by the md5 of its key and keep the first k — the
+    budget-capped variant of hash sampling (rates give you a FRACTION
+    per stratum; this gives you a COUNT per stratum).
+
+    The window never sorts whole groups at scale: rank-with-limit
+    compiles to WindowGroupLimit, which keeps only a k-row heap per
+    group on each side of the shuffle. Deterministic across re-runs
+    and partition layouts — the same k rows survive every refresh, so
+    a downstream incremental consumer sees a stable sample.
+    """
+    from pyspark.sql.window import Window
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "source")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _PER_GROUP_K)
+        .select("doc_id", "source")
+    )

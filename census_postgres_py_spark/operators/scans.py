@@ -716,3 +716,61 @@ def scan_log_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("amount_cents"),
     )
+
+
+@register(
+    "scan_binaryfile",
+    oracle="""
+    SELECT doc_id,
+           CAST(8 + (16 + doc_id % 48) * (16 + (doc_id * 3) % 32)
+                AS BIGINT) AS n_bytes,
+           CAST(16 + doc_id % 48 AS BIGINT) AS width,
+           CAST(16 + (doc_id * 3) % 32 AS BIGINT) AS height
+    FROM documents WHERE doc_id < 40
+    """,
+)
+def scan_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-file ingestion via Spark's `binaryFile` source — the
+    landing-zone scan of an image/audio corpus: each file becomes one
+    row of (path, modificationTime, length, content BINARY). Here the
+    files are real SIMG payloads (operators/multimodal.py format);
+    the scan recovers doc identity from the path, validates the magic
+    JVM-side (substring on the binary column — no Python), and
+    extracts the header dims with JVM byte arithmetic.
+
+    This is the missing first stage of the multimodal pipeline:
+    binaryFile -> (mm_decode_features | mm_resize) over the content
+    column. At 100 TB the same small-files economics as
+    scan_text_wholefile apply — this scan feeds sink_compact_files."""
+    from census_postgres_py_spark.operators.multimodal import _encode_img
+
+    path = _scratch(f"imgs_binary_{os.path.basename(sf_dir)}")
+    marker = os.path.join(path, "_DONE")
+    if not os.path.exists(marker):
+        os.makedirs(path, exist_ok=True)
+        for doc_id in range(40):  # 40 files — driver write is the point
+            with open(os.path.join(path, f"img_{doc_id:06d}.simg"), "wb") as f:
+                f.write(_encode_img(doc_id))
+        open(marker, "w").close()
+    raw = spark.read.format("binaryFile").load(
+        os.path.join(path, "img_*.simg")
+    )
+    # u16be dims live at bytes 5-6 (width) and 7-8 (height): decode
+    # with substring + ascii() — all JVM expressions on the binary col.
+    def be16(off: int):
+        return (
+            F.ascii(F.substring(F.col("content"), off, 1).cast("string"))
+            * 256
+            + F.ascii(F.substring(F.col("content"), off + 1, 1).cast("string"))
+        )
+
+    out = raw.select(
+        F.regexp_extract(F.input_file_name(), r"img_(\d+)\.simg", 1)
+        .cast("long")
+        .alias("doc_id"),
+        F.col("length").alias("n_bytes"),
+        F.substring(F.col("content"), 1, 4).cast("string").alias("magic"),
+        be16(5).cast("long").alias("width"),
+        be16(7).cast("long").alias("height"),
+    )
+    return out.filter(F.col("magic") == "SIMG").drop("magic")

@@ -393,3 +393,90 @@ def emb_centroid_label(spark: SparkSession, sf_dir: str) -> DataFrame:
         _r6(F.first(l2_norm(F.col("centroid")))).alias("centroid_norm"),
         _r6(F.avg("cs")).alias("avg_cos"),
     )
+
+
+_CELL_SEEDS = [0, 100, 200, 300]  # fixture rows used as fixed centroids
+
+
+@register(
+    "pipeline_embedding_e2e",
+    oracle=f"""
+    WITH norm AS (
+        SELECT vec_id,
+               list_transform(
+                   CAST(embedding AS DOUBLE[]),
+                   x -> x / sqrt(list_dot_product(
+                            CAST(embedding AS DOUBLE[]),
+                            CAST(embedding AS DOUBLE[])))) AS v
+        FROM embeddings
+    ), cents AS (
+        SELECT vec_id AS cell_id, v AS c FROM norm
+        WHERE vec_id IN ({", ".join(map(str, _CELL_SEEDS))})
+    ), scored AS (
+        SELECT n.vec_id, c.cell_id, list_dot_product(n.v, c.c) AS cs,
+               row_number() OVER (PARTITION BY n.vec_id
+                                  ORDER BY list_dot_product(n.v, c.c) DESC,
+                                           c.cell_id) AS rn
+        FROM norm n CROSS JOIN cents c
+    ), assigned AS (
+        SELECT vec_id, cell_id, cs FROM scored WHERE rn = 1
+    )
+    , stats AS (
+        SELECT cell_id,
+               CAST(count(*) AS BIGINT) AS n_vectors,
+               floor(avg(cs) * 1000000 + 0.5) / 1000000 AS avg_cos
+        FROM assigned GROUP BY cell_id
+    ), best AS (
+        SELECT cell_id, vec_id AS best_vec_id,
+               row_number() OVER (PARTITION BY cell_id
+                                  ORDER BY cs DESC, vec_id) AS brn
+        FROM assigned
+    )
+    SELECT s.cell_id, s.n_vectors, s.avg_cos, b.best_vec_id
+    FROM stats s JOIN best b ON s.cell_id = b.cell_id AND b.brn = 1
+    """,
+)
+def pipeline_embedding_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed embedding pipeline: L2-normalize -> assign every vector
+    to its nearest fixed centroid (the IVF index-build step) -> per-cell
+    occupancy stats (count, mean cosine, most-central vector).
+
+    The end-to-end shape of building a vector index at 100 TB: one
+    broadcast of the (tiny) centroid set, one zip_with/aggregate dot
+    per (vector, centroid) pair JVM-side, a WindowGroupLimit argmax per
+    vector, and a combinable per-cell aggregate. No driver collect of
+    vectors (centroids are fixture rows selected by id), no explode,
+    no Python. join_similarity_ivf is the query half of this index;
+    this op is the build half, hash-checked end to end.
+    """
+    e = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    nrm = l2_norm(F.col("embedding"))
+    norm = e.select(
+        "vec_id",
+        F.transform(
+            F.col("embedding"), lambda x: x.cast("double") / nrm
+        ).alias("v"),
+    )
+    cents = norm.filter(F.col("vec_id").isin(_CELL_SEEDS)).select(
+        F.col("vec_id").alias("cell_id"), F.col("v").alias("c")
+    )
+    scored = norm.join(F.broadcast(cents)).withColumn(
+        "cs", dot(F.col("v"), F.col("c"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cs").desc(), F.col("cell_id")
+    )
+    assigned = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cell_id", "cs")
+    )
+    return assigned.groupBy("cell_id").agg(
+        F.count("*").cast("long").alias("n_vectors"),
+        (F.floor(F.avg("cs") * 1000000 + F.lit(0.5)) / 1000000).alias(
+            "avg_cos"
+        ),
+        F.min_by("vec_id", F.struct(-F.col("cs"), F.col("vec_id"))).alias(
+            "best_vec_id"
+        ),
+    )

