@@ -85,6 +85,8 @@ HEADLINE = [
     "graph_pagerank_iter",
     "sample_topk_per_group",
     "pipeline_embedding_e2e",
+    "snapshot_diff",
+    "transform_impute_mean",
 ]
 
 

@@ -207,3 +207,53 @@ def case_when(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("o_totalprice"), 2).alias("total"),
         )
     )
+
+
+@register(
+    "transform_impute_mean",
+    oracle="""
+    WITH masked AS (
+        SELECT c_custkey, c_mktsegment,
+               CASE WHEN c_custkey % 11 = 0 THEN NULL
+                    ELSE c_acctbal END AS bal
+        FROM customer
+    ), seg AS (
+        SELECT c_mktsegment,
+               floor(avg(bal) * 100 + 0.5) / 100 AS seg_mean
+        FROM masked GROUP BY c_mktsegment
+    )
+    SELECT m.c_custkey, m.c_mktsegment,
+           coalesce(m.bal, s.seg_mean) AS bal_imputed,
+           CASE WHEN m.bal IS NULL THEN true ELSE false END AS was_imputed
+    FROM masked m JOIN seg s USING (c_mktsegment)
+    """,
+)
+def transform_impute_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-mean imputation: NULL balances (masked here on a
+    deterministic key rule to create the holes) are filled with their
+    market segment's mean, plus a was_imputed audit flag.
+
+    The data-prep staple before any ML feature export. The mean table
+    is |segments| rows — it computes in one combinable agg pass and
+    BROADCASTS back, so imputation costs one scan + one map-side join
+    at any corpus size (never a shuffle of the fact side). The mean is
+    rounded once, identically on both engines, so the filled value is
+    bit-stable for downstream fingerprinting.
+    """
+    c = t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        F.when(F.col("c_custkey") % 11 == 0, None)
+        .otherwise(F.col("c_acctbal"))
+        .alias("bal"),
+    )
+    seg = c.groupBy("c_mktsegment").agg(
+        (F.floor(F.avg("bal") * 100 + F.lit(0.5)) / 100).alias("seg_mean")
+    )
+    out = c.join(F.broadcast(seg), "c_mktsegment")
+    return out.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.coalesce("bal", "seg_mean").alias("bal_imputed"),
+        F.col("bal").isNull().alias("was_imputed"),
+    )

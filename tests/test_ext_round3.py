@@ -233,3 +233,34 @@ def test_embedding_pipeline_covers_all_vectors(spark, queries):
     total = df.agg(F.sum("n_vectors")).collect()[0][0]
     corpus = t(spark, SF_T2, "embeddings").count()
     assert total == corpus
+
+
+def test_snapshot_diff_classification_counts(spark, queries):
+    """Key-rule arithmetic fixes the expected class counts: keys =7
+    only in B (added), =4 only in A (removed), =3 changed (price
+    perturbed), except overlaps (no key is both 3 and 4 mod 10)."""
+    from tests.conftest import SF_T2
+
+    df = queries["snapshot_diff"](spark, SF_T2)
+    by_kind = {r.change_kind: r.n for r in
+               df.groupBy("change_kind").agg(F.count("*").alias("n")).collect()}
+    assert set(by_kind) == {"added", "removed", "changed"}
+    # no key is double-counted
+    assert df.count() == df.select("o_orderkey").distinct().count()
+
+
+def test_impute_mean_fills_all_nulls(spark, queries):
+    """No NULLs survive; imputed rows carry their segment mean."""
+    from tests.conftest import SF_T2
+
+    df = queries["transform_impute_mean"](spark, SF_T2)
+    assert df.filter(F.col("bal_imputed").isNull()).count() == 0
+    seg_vals = (
+        df.filter(F.col("was_imputed"))
+        .select("c_mktsegment", "bal_imputed")
+        .distinct()
+    )
+    # one imputed value per segment (the segment mean)
+    assert seg_vals.groupBy("c_mktsegment").count().filter(
+        F.col("count") > 1
+    ).count() == 0
