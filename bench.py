@@ -87,6 +87,7 @@ HEADLINE = [
     "pipeline_embedding_e2e",
     "snapshot_diff",
     "transform_impute_mean",
+    "udf_model_score",
 ]
 
 

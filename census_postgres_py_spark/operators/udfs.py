@@ -366,3 +366,58 @@ def udf_window_agg_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
             schema="o_custkey long, o_orderkey long, w_run double",
         )
     )
+
+
+# Deterministic "model": w[j] = ((7*j + 3) % 11 - 5) / 10, b = 0.25 —
+# affine in j so the oracle regenerates the identical weights in SQL.
+_SCORE_DIM = 64
+_SCORE_BIAS = 0.25
+
+
+def _score_weights():
+    import numpy as np
+
+    j = np.arange(_SCORE_DIM, dtype=np.int64)
+    return ((7 * j + 3) % 11 - 5) / 10.0
+
+
+@register(
+    "udf_model_score",
+    oracle=f"""
+    SELECT vec_id,
+           floor(1.0 / (1.0 + exp(-(
+               list_dot_product(
+                   CAST(embedding AS DOUBLE[]),
+                   list_transform(range(0, {_SCORE_DIM}),
+                                  j -> CAST((7*j + 3) % 11 - 5 AS DOUBLE)
+                                       / 10.0))
+               + {_SCORE_BIAS}))) * 1000000 + 0.5) / 1000000 AS score
+    FROM embeddings
+    """,
+)
+def udf_model_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched model inference over an embedding column: a logistic
+    scorer evaluated as ONE numpy matmul per Arrow batch inside an
+    iterator Pandas UDF — the exact shape of running a distilled
+    classifier/reward model over a 100 TB corpus (weights broadcast by
+    closure, batch-level vectorization, zero per-row Python).
+
+    The iterator form amortizes weight setup once per PARTITION (real
+    models pay model-load here, not per batch); the oracle replays the
+    same linear+sigmoid arithmetic in SQL, so the Arrow round trip is
+    value-hash-checked.
+    """
+    import numpy as np
+
+    w = _score_weights()
+
+    @F.pandas_udf(DoubleType())
+    def score(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for emb in batches:
+            x = np.stack(emb.to_numpy()).astype(np.float64)
+            z = x @ w + _SCORE_BIAS
+            s = 1.0 / (1.0 + np.exp(-z))
+            yield pd.Series(np.floor(s * 1e6 + 0.5) / 1e6)
+
+    e = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return e.select("vec_id", score(F.col("embedding")).alias("score"))

@@ -82,7 +82,7 @@ SURVEY_IDS = {
     "dq_partition_drift", "mm_audio_features",
     "win_rolling_median", "agg_entropy", "graph_pagerank_iter",
     "sample_topk_per_group", "scan_binaryfile", "pipeline_embedding_e2e",
-    "snapshot_diff", "transform_impute_mean",
+    "snapshot_diff", "transform_impute_mean", "udf_model_score",
 }
 
 

@@ -264,3 +264,16 @@ def test_impute_mean_fills_all_nulls(spark, queries):
     assert seg_vals.groupBy("c_mktsegment").count().filter(
         F.col("count") > 1
     ).count() == 0
+
+
+def test_model_score_bounds_and_determinism(spark, queries):
+    """Scores lie in (0,1); repeated evaluation is bit-identical
+    (fixed closure weights, deterministic batch math)."""
+    from tests.conftest import SF_T2
+
+    df = queries["udf_model_score"](spark, SF_T2)
+    assert df.filter(
+        (F.col("score") <= 0) | (F.col("score") >= 1)
+    ).count() == 0
+    again = queries["udf_model_score"](spark, SF_T2)
+    assert df.exceptAll(again).count() == 0
