@@ -277,3 +277,34 @@ def test_model_score_bounds_and_determinism(spark, queries):
     ).count() == 0
     again = queries["udf_model_score"](spark, SF_T2)
     assert df.exceptAll(again).count() == 0
+
+
+def test_snapshot_diff_plan_shape(spark, queries):
+    """One shuffle join (full outer), no cartesian, scans pruned to
+    key + compared columns only."""
+    df = queries["snapshot_diff"](spark, SF_SMOKE)
+    plan = executed_plan(df)
+    assert not has_cartesian(df)
+    assert "FullOuter" in plan
+    assert "o_orderpriority" not in plan  # untouched column never read
+
+
+def test_impute_mean_broadcasts_means(spark, queries):
+    """The segment-mean table must broadcast — the fact side never
+    shuffles for the imputation join."""
+    df = queries["transform_impute_mean"](spark, SF_SMOKE)
+    assert "BroadcastHashJoin" in executed_plan(df)
+
+
+def test_pagerank_no_cartesian(spark, queries):
+    df = queries["graph_pagerank_iter"](spark, SF_SMOKE)
+    assert not has_cartesian(df)
+
+
+def test_model_score_is_arrow_vectorized(spark, queries):
+    """The scorer must run as an Arrow-batched Python eval, never a
+    row-at-a-time BatchEvalPython."""
+    df = queries["udf_model_score"](spark, SF_SMOKE)
+    plan = executed_plan(df)
+    assert "ArrowEvalPython" in plan
+    assert "BatchEvalPython" not in plan
