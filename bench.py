@@ -88,6 +88,7 @@ HEADLINE = [
     "snapshot_diff",
     "transform_impute_mean",
     "udf_model_score",
+    "win_attribution_last_touch",
 ]
 
 

@@ -774,3 +774,66 @@ def scan_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
         be16(7).cast("long").alias("height"),
     )
     return out.filter(F.col("magic") == "SIMG").drop("magic")
+
+
+@register(
+    "scan_jsonl_permissive",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(CASE WHEN o_orderkey % 7 = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_corrupt,
+           CAST(sum(CASE WHEN o_orderkey % 7 <> 0 THEN o_orderkey * 3
+                         ELSE 0 END) AS BIGINT) AS v_sum
+    FROM orders WHERE o_orderkey < 4000
+    """,
+)
+def scan_jsonl_permissive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERMISSIVE JSON ingestion with `_corrupt_record` quarantine —
+    the production counterpart of scan_csv_dropmalformed: bad lines
+    are KEPT (schema columns null, raw text in the corrupt column) so
+    the pipeline can route them to a quarantine sink instead of
+    silently shrinking the corpus. Every 7th rendered line is broken
+    deterministically; the op reports (total, corrupt, checksum of
+    parsed values) so the oracle can verify the parser recovered
+    every good line and quarantined every bad one.
+    """
+    path = _scratch(f"orders_jsonl_perm_{os.path.basename(sf_dir)}")
+    marker = os.path.join(path, "_DONE")
+    keys = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") < 4000)
+        .select("o_orderkey")
+    )
+    if not os.path.exists(marker):
+        os.makedirs(path, exist_ok=True)
+        lines = keys.withColumn(
+            "line",
+            F.when(
+                F.col("o_orderkey") % 7 == 0,
+                F.concat(
+                    F.lit('{"k": '), F.col("o_orderkey"), F.lit(", v broken")
+                ),
+            ).otherwise(
+                F.concat(
+                    F.lit('{"k": '),
+                    F.col("o_orderkey"),
+                    F.lit(', "v": '),
+                    F.col("o_orderkey") * 3,
+                    F.lit("}"),
+                )
+            ),
+        ).select("line")
+        lines.write.mode("overwrite").text(path)
+        open(marker, "w").close()
+    schema = "k long, v long, _corrupt string"
+    back = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .json(os.path.join(path, "part-*"))
+    )
+    return back.agg(
+        F.count("*").cast("long").alias("n_lines"),
+        F.sum(F.col("_corrupt").isNotNull().cast("long")).alias("n_corrupt"),
+        F.sum(F.coalesce("v", F.lit(0))).cast("long").alias("v_sum"),
+    )

@@ -515,3 +515,72 @@ def win_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM orders
         """
     )
+
+
+_CHANNELS = "['ads','email','organic','social']"  # DuckDB literal list
+
+
+@register(
+    "win_attribution_last_touch",
+    oracle=f"""
+    WITH tagged AS (
+        SELECT event_id, user_id, ts, event_type,
+               CASE WHEN event_type = 'click'
+                    THEN ({_CHANNELS})[
+                        CAST(json_extract(props, '$.k') AS BIGINT) % 4 + 1]
+                    END AS channel
+        FROM events
+    ), attributed AS (
+        SELECT event_id, user_id, event_type,
+               last_value(channel IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS attr_channel
+        FROM tagged
+    )
+    SELECT event_id, user_id,
+           coalesce(attr_channel, 'none') AS attr_channel
+    FROM attributed WHERE event_type = 'purchase'
+    """,
+)
+def win_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch marketing attribution: every purchase is credited to
+    the channel of the most recent PRECEDING click by the same user
+    ('none' when no click came first).
+
+    The running last-non-null is `last(channel, ignorenulls=True)`
+    over an unbounded-preceding frame — O(1) state per row in one
+    window pass, the same shape at any history length. Channel derives
+    from the click's JSON payload (`get_json_object` -> modular pick),
+    so extraction, sessionless attribution, and the null-gap semantics
+    are all exercised JVM-side. The funnel twin (win_funnel_steps)
+    counts conversions; this op answers WHO gets credit.
+    """
+    ev = t(spark, sf_dir, "events")
+    channels = F.array(
+        F.lit("ads"), F.lit("email"), F.lit("organic"), F.lit("social")
+    )
+    k = F.get_json_object("props", "$.k").cast("long")
+    tagged = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        F.when(
+            F.col("event_type") == "click",
+            F.element_at(channels, (k % 4 + 1).cast("int")),
+        ).alias("channel"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    attributed = tagged.withColumn(
+        "attr_channel", F.last("channel", ignorenulls=True).over(w)
+    )
+    return attributed.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        F.coalesce("attr_channel", F.lit("none")).alias("attr_channel"),
+    )

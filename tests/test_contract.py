@@ -83,6 +83,7 @@ SURVEY_IDS = {
     "win_rolling_median", "agg_entropy", "graph_pagerank_iter",
     "sample_topk_per_group", "scan_binaryfile", "pipeline_embedding_e2e",
     "snapshot_diff", "transform_impute_mean", "udf_model_score",
+    "win_attribution_last_touch", "scan_jsonl_permissive",
 }
 
 

