@@ -89,6 +89,7 @@ HEADLINE = [
     "transform_impute_mean",
     "udf_model_score",
     "win_attribution_last_touch",
+    "agg_time_to_convert",
 ]
 
 

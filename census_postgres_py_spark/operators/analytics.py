@@ -406,3 +406,70 @@ def graph_pagerank_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select(
         "node", (F.floor(F.col("r") * 1000000 + F.lit(0.5)) / 1000000).alias("rank")
     )
+
+
+@register(
+    "agg_time_to_convert",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id,
+               min(CASE WHEN event_type = 'click' THEN ts END) AS first_click,
+               min(CASE WHEN event_type = 'purchase' THEN ts END)
+                   AS first_purchase
+        FROM events GROUP BY user_id
+    ), lat AS (
+        SELECT user_id,
+               date_diff('second', first_click, first_purchase) AS sec
+        FROM firsts
+        WHERE first_click IS NOT NULL AND first_purchase IS NOT NULL
+          AND first_purchase >= first_click
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_converted,
+           CAST(floor(quantile_cont(CAST(sec AS DOUBLE), 0.5)) AS BIGINT)
+               AS p50_sec,
+           CAST(floor(quantile_cont(CAST(sec AS DOUBLE), 0.9)) AS BIGINT)
+               AS p90_sec,
+           CAST(max(sec) AS BIGINT) AS max_sec
+    FROM lat
+    """,
+)
+def agg_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-latency distribution: per user, first click ->
+    first purchase elapsed seconds, reported as exact p50/p90/max.
+
+    One conditional-min aggregate computes both anchor timestamps in
+    a single pass (no self-join of the events table against itself),
+    then the percentile runs over the tiny per-user latency frame —
+    at 100 TB the heavy input collapses to |users| rows before any
+    non-combinable work. Both engines interpolate percentiles on
+    DOUBLE and the result is floored to whole seconds, so the hash
+    can't wobble on interpolation ULPs.
+    """
+    ev = t(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(
+            F.when(F.col("event_type") == "click", F.col("ts"))
+        ).alias("first_click"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
+        ).alias("first_purchase"),
+    )
+    lat = firsts.filter(
+        F.col("first_click").isNotNull()
+        & F.col("first_purchase").isNotNull()
+        & (F.col("first_purchase") >= F.col("first_click"))
+    ).select(
+        (
+            F.unix_timestamp("first_purchase") - F.unix_timestamp("first_click")
+        ).alias("sec")
+    )
+    return lat.agg(
+        F.count("*").cast("long").alias("n_converted"),
+        F.floor(F.expr("percentile(CAST(sec AS DOUBLE), 0.5)"))
+        .cast("long")
+        .alias("p50_sec"),
+        F.floor(F.expr("percentile(CAST(sec AS DOUBLE), 0.9)"))
+        .cast("long")
+        .alias("p90_sec"),
+        F.max("sec").cast("long").alias("max_sec"),
+    )
