@@ -90,6 +90,7 @@ HEADLINE = [
     "udf_model_score",
     "win_attribution_last_touch",
     "agg_time_to_convert",
+    "agg_gini",
 ]
 
 

@@ -473,3 +473,70 @@ def agg_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("p90_sec"),
         F.max("sec").cast("long").alias("max_sec"),
     )
+
+
+@register(
+    "agg_gini",
+    oracle="""
+    WITH cents AS (
+        SELECT o_custkey % 100 AS seg,
+               CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS y,
+               o_orderkey
+        FROM orders
+    ), ranked AS (
+        SELECT seg, y,
+               row_number() OVER (PARTITION BY seg ORDER BY y, o_orderkey)
+                   AS rnk
+        FROM cents
+    ), s AS (
+        SELECT seg,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(y) AS HUGEINT) AS sy,
+               CAST(sum(rnk * y) AS HUGEINT) AS sry
+        FROM ranked GROUP BY seg
+    )
+    SELECT seg, n,
+           floor((2.0 * CAST(sry AS DOUBLE)
+                  / (CAST(n AS DOUBLE) * CAST(sy AS DOUBLE))
+                  - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE))
+                 * 1000000 + 0.5) / 1000000 AS gini
+    FROM s
+    """,
+)
+def agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment Gini coefficient of order-value concentration —
+    the inequality metric behind "do 20% of customers drive 80% of
+    revenue" dashboards.
+
+    Uses the rank-sum identity G = 2·Σ(i·xᵢ)/(n·Σx) − (n+1)/n over
+    integer cents with a total tiebreak order, so the only float work
+    is the final projection: one window pass for ranks (shuffle on
+    segment), one combinable agg for the three sums — exact and
+    hash-stable at any executor count.
+    """
+    o = t(spark, sf_dir, "orders")
+    cents = o.select(
+        (F.col("o_custkey") % 100).alias("seg"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("y"),
+        "o_orderkey",
+    )
+    w = Window.partitionBy("seg").orderBy("y", "o_orderkey")
+    ranked = cents.withColumn("rnk", F.row_number().over(w))
+    d38 = "decimal(38,0)"
+    s = ranked.groupBy("seg").agg(
+        F.count("*").alias("n"),
+        F.sum("y").cast(d38).alias("sy"),
+        F.sum(F.col("rnk").cast("long") * F.col("y")).cast(d38).alias("sry"),
+    )
+    nd = F.col("n").cast("double")
+    gini = (
+        2.0 * F.col("sry").cast("double") / (nd * F.col("sy").cast("double"))
+        - (nd + 1.0) / nd
+    )
+    return s.select(
+        "seg",
+        "n",
+        (F.floor(gini * 1000000 + F.lit(0.5)) / 1000000).alias("gini"),
+    )

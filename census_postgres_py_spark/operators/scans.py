@@ -837,3 +837,44 @@ def scan_jsonl_permissive(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("_corrupt").isNotNull().cast("long")).alias("n_corrupt"),
         F.sum(F.coalesce("v", F.lit(0))).cast("long").alias("v_sum"),
     )
+
+
+@register(
+    "sink_manifest_stats",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           min(CAST(o_orderdate AS DATE)) AS min_date,
+           max(CAST(o_orderdate AS DATE)) AS max_date,
+           CAST(min(o_orderkey) AS BIGINT) AS min_key,
+           CAST(max(o_orderkey) AS BIGINT) AS max_key
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def sink_manifest_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write a partitioned lake table, then build its MANIFEST: per-
+    partition row counts and column min/max bounds — the zone-map
+    metadata a lakehouse (Delta/Iceberg-style) keeps so point/range
+    queries can SKIP whole partitions without opening a file.
+
+    The stats pass reads the partition column back from the DIRECTORY
+    layout (partition discovery), so the manifest query scans only the
+    pruned data columns; the bounds are combinable min/max partials.
+    At 100 TB this job runs per ingest batch and its output IS the
+    skipping index — join_partition_pruned demonstrates the read side
+    consuming exactly these semantics via DPP.
+    """
+    path = _scratch(f"orders_manifest_{os.path.basename(sf_dir)}")
+    marker = os.path.join(path, "_SUCCESS")
+    if not os.path.exists(marker):
+        t(spark, sf_dir, "orders").write.mode("overwrite").partitionBy(
+            "o_orderpriority"
+        ).parquet(path)
+    back = spark.read.parquet(path)
+    return back.groupBy("o_orderpriority").agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.min(F.col("o_orderdate").cast("date")).alias("min_date"),
+        F.max(F.col("o_orderdate").cast("date")).alias("max_date"),
+        F.min("o_orderkey").cast("long").alias("min_key"),
+        F.max("o_orderkey").cast("long").alias("max_key"),
+    )

@@ -84,7 +84,7 @@ SURVEY_IDS = {
     "sample_topk_per_group", "scan_binaryfile", "pipeline_embedding_e2e",
     "snapshot_diff", "transform_impute_mean", "udf_model_score",
     "win_attribution_last_touch", "scan_jsonl_permissive",
-    "agg_time_to_convert",
+    "agg_time_to_convert", "agg_gini", "sink_manifest_stats",
 }
 
 

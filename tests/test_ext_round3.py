@@ -330,3 +330,29 @@ def test_jsonl_permissive_accounts_every_line(spark, queries):
     df = queries["scan_jsonl_permissive"](spark, SF_SMOKE)
     row = df.collect()[0]
     assert row.n_lines > 0 and 0 < row.n_corrupt < row.n_lines
+
+
+def test_gini_bounds(spark, queries):
+    """Gini lies in [0, 1) and a segment with one order is 0."""
+    from tests.conftest import SF_T2
+
+    df = queries["agg_gini"](spark, SF_T2)
+    assert df.filter((F.col("gini") < 0) | (F.col("gini") >= 1)).count() == 0
+    assert df.filter((F.col("n") == 1) & (F.col("gini") != 0)).count() == 0
+
+
+def test_manifest_bounds_contain_all_rows(spark, queries):
+    """Partition bounds must cover every key in that partition (the
+    file-skipping guarantee: nothing outside [min,max])."""
+    from census_postgres_py_spark.tables import t
+    from tests.conftest import SF_T2
+
+    df = queries["sink_manifest_stats"](spark, SF_T2)
+    o = t(spark, SF_T2, "orders")
+    joined = o.join(df, "o_orderpriority")
+    escaped = joined.filter(
+        (F.col("o_orderkey") < F.col("min_key"))
+        | (F.col("o_orderkey") > F.col("max_key"))
+    )
+    assert escaped.count() == 0
+    assert df.agg(F.sum("n_rows")).collect()[0][0] == o.count()
