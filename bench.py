@@ -91,6 +91,8 @@ HEADLINE = [
     "win_attribution_last_touch",
     "agg_time_to_convert",
     "agg_gini",
+    "join_nearest_event",
+    "udf_grouped_train",
 ]
 
 

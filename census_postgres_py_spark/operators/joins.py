@@ -713,3 +713,85 @@ def join_interval_bin(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.least("a_e", "b_e") - F.greatest("a_s", "b_s") + 1
         ).alias("overlap_days"),
     )
+
+
+@register(
+    "join_nearest_event",
+    oracle="""
+    WITH tagged AS (
+        SELECT user_id, ts, event_id, 1 AS is_probe
+        FROM events WHERE event_type = 'purchase'
+        UNION ALL
+        SELECT user_id, ts, event_id, 0 AS is_probe
+        FROM events WHERE event_type = 'view'
+    ), merged AS (
+        SELECT user_id, ts, event_id, is_probe,
+               max(CASE WHEN is_probe = 0 THEN epoch_ms(ts) END)
+                   OVER (PARTITION BY user_id ORDER BY ts, is_probe
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS prior_ms,
+               min(CASE WHEN is_probe = 0 THEN epoch_ms(ts) END)
+                   OVER (PARTITION BY user_id ORDER BY ts, is_probe
+                         ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                   AS next_ms
+        FROM tagged
+    )
+    SELECT event_id, user_id, epoch_ms(ts) AS ts_ms,
+           CASE WHEN prior_ms IS NULL THEN next_ms
+                WHEN next_ms IS NULL THEN prior_ms
+                WHEN epoch_ms(ts) - prior_ms <= next_ms - epoch_ms(ts)
+                     THEN prior_ms ELSE next_ms END AS nearest_view_ms
+    FROM merged WHERE is_probe = 1
+    """,
+)
+def join_nearest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bidirectional nearest-neighbor time join: each purchase matched
+    to the CLOSEST view by the same user in either direction (ties
+    break backward) — what join_asof can't answer when context can
+    arrive just after the anchor event.
+
+    Same union-merge shape as join_asof — one shuffle, one sort, NO
+    join — but two running extremes over the same sorted frame: a
+    backward running max and a forward running min of the view
+    timestamp. Window frames in both directions reuse one sort order,
+    so the bidirectional variant costs the same single pass as the
+    backward-only one.
+    """
+    ev = t(spark, sf_dir, "events")
+    probes = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", F.lit(1).alias("is_probe")
+    )
+    quotes = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", "event_id", F.lit(0).alias("is_probe")
+    )
+    tagged = probes.unionByName(quotes)
+    view_ms = F.when(F.col("is_probe") == 0, F.unix_millis(F.col("ts")))
+    back = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_probe")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    fwd = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_probe")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    merged = tagged.withColumn("prior_ms", F.max(view_ms).over(back)).withColumn(
+        "next_ms", F.min(view_ms).over(fwd)
+    )
+    ts_ms = F.unix_millis("ts")
+    nearest = (
+        F.when(F.col("prior_ms").isNull(), F.col("next_ms"))
+        .when(F.col("next_ms").isNull(), F.col("prior_ms"))
+        .when(
+            ts_ms - F.col("prior_ms") <= F.col("next_ms") - ts_ms,
+            F.col("prior_ms"),
+        )
+        .otherwise(F.col("next_ms"))
+    )
+    return merged.filter(F.col("is_probe") == 1).select(
+        "event_id",
+        "user_id",
+        ts_ms.alias("ts_ms"),
+        nearest.alias("nearest_view_ms"),
+    )

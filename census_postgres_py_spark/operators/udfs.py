@@ -421,3 +421,75 @@ def udf_model_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     return e.select("vec_id", score(F.col("embedding")).alias("score"))
+
+
+@register(
+    "udf_grouped_train",
+    oracle=f"""
+    WITH s AS (
+        SELECT o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS HUGEINT) AS sx,
+               CAST(sum(y) AS HUGEINT) AS sy,
+               CAST(sum(x * x) AS HUGEINT) AS sxx,
+               CAST(sum(x * y) AS HUGEINT) AS sxy
+        FROM (SELECT o_orderpriority,
+                     datediff('day', DATE '1995-01-01',
+                              CAST(o_orderdate AS DATE)) AS x,
+                     CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS y
+              FROM orders)
+        GROUP BY o_orderpriority
+    )
+    SELECT o_orderpriority, n,
+           floor(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE) * 1000000 + 0.5)
+               / 1000000 AS slope_cents_per_day
+    FROM s
+    """,
+)
+def udf_grouped_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group model TRAINING via `applyInPandas`: each priority
+    class's price-trend model is fit inside one Python call over that
+    group's Arrow batch — the map side of any per-entity model fleet
+    (per-store forecaster, per-user personalization, federated fit).
+
+    The kernel accumulates the same exact integer sufficient sums as
+    the native twin (`agg_regression`), so the UDF path is
+    value-hash-checked against pure SQL — the repo's
+    self-differential discipline applied to a training loop. Groups
+    train in parallel across executors; cost is bounded by the
+    largest group, the real constraint to know before sharding a
+    100 TB fit."""
+    import numpy as np
+
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_orderdate", "o_totalprice"
+    )
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        x = (
+            (pdf["o_orderdate"].values.astype("datetime64[D]")
+             - np.datetime64("1995-01-01", "D"))
+            .astype(np.int64)
+        )
+        y = np.floor(pdf["o_totalprice"].to_numpy() * 100 + 0.5).astype(
+            np.int64
+        )
+        n = len(pdf)
+        sx, sy = int(x.sum()), int(y.sum())
+        sxx, sxy = int((x * x).sum()), int((x * y).sum())
+        slope = float(n * sxy - sx * sy) / float(n * sxx - sx * sx)
+        return pd.DataFrame(
+            {
+                "o_orderpriority": [pdf["o_orderpriority"].iloc[0]],
+                "n": [n],
+                "slope_cents_per_day": [
+                    float(np.floor(slope * 1e6 + 0.5) / 1e6)
+                ],
+            }
+        )
+
+    return o.groupBy("o_orderpriority").applyInPandas(
+        fit,
+        schema="o_orderpriority string, n long, slope_cents_per_day double",
+    )

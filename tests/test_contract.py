@@ -85,6 +85,7 @@ SURVEY_IDS = {
     "snapshot_diff", "transform_impute_mean", "udf_model_score",
     "win_attribution_last_touch", "scan_jsonl_permissive",
     "agg_time_to_convert", "agg_gini", "sink_manifest_stats",
+    "udf_grouped_train", "join_nearest_event",
 }
 
 

@@ -356,3 +356,40 @@ def test_manifest_bounds_contain_all_rows(spark, queries):
     )
     assert escaped.count() == 0
     assert df.agg(F.sum("n_rows")).collect()[0][0] == o.count()
+
+
+def test_nearest_event_at_least_as_close_as_asof(spark, queries):
+    """The bidirectional nearest view is never FARTHER than the
+    backward-only as-of match (dominance invariant)."""
+    from tests.conftest import SF_T2
+
+    near = queries["join_nearest_event"](spark, SF_T2).select(
+        "event_id", "ts_ms", "nearest_view_ms"
+    )
+    asof = queries["join_asof"](spark, SF_T2).select(
+        "event_id", F.col("prior_view_ms")
+    )
+    j = near.join(asof, "event_id").filter(F.col("prior_view_ms").isNotNull())
+    worse = j.filter(
+        F.abs(F.col("ts_ms") - F.col("nearest_view_ms"))
+        > F.abs(F.col("ts_ms") - F.col("prior_view_ms"))
+    )
+    assert worse.count() == 0
+
+
+def test_grouped_train_matches_native_regression(spark, queries):
+    """The applyInPandas fit must reproduce agg_regression's slopes
+    exactly (same sufficient sums, same rounding)."""
+    from tests.conftest import SF_T2
+
+    trained = queries["udf_grouped_train"](spark, SF_T2).select(
+        "o_orderpriority", "slope_cents_per_day"
+    )
+    native = queries["agg_regression"](spark, SF_T2).select(
+        "o_orderpriority",
+        F.col("slope_cents_per_day").alias("native_slope"),
+    )
+    j = trained.join(native, "o_orderpriority")
+    assert j.filter(
+        F.col("slope_cents_per_day") != F.col("native_slope")
+    ).count() == 0
