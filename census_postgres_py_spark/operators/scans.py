@@ -756,13 +756,16 @@ def scan_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.path.join(path, "img_*.simg")
     )
     # u16be dims live at bytes 5-6 (width) and 7-8 (height): decode
-    # with substring + ascii() — all JVM expressions on the binary col.
+    # arithmetically (binary slice -> hex -> base-16 conv), never via a
+    # UTF-8 string cast — bytes >= 0x80 are invalid UTF-8 and would
+    # decode to U+FFFD. All JVM expressions on the binary col.
     def be16(off: int):
-        return (
-            F.ascii(F.substring(F.col("content"), off, 1).cast("string"))
-            * 256
-            + F.ascii(F.substring(F.col("content"), off + 1, 1).cast("string"))
-        )
+        def byte(o: int):
+            return F.conv(
+                F.hex(F.substring(F.col("content"), o, 1)), 16, 10
+            ).cast("long")
+
+        return byte(off) * 256 + byte(off + 1)
 
     out = raw.select(
         F.regexp_extract(F.input_file_name(), r"img_(\d+)\.simg", 1)

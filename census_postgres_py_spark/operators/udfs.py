@@ -5,6 +5,16 @@ genuinely needed, Arrow-vectorized Pandas UDFs only — never
 row-at-a-time `udf()`. Each operator here has a native-function twin
 in its oracle SQL, so the harness double-checks the UDF path against
 pure-SQL semantics (self-differential testing, SURVEY.md §5.2).
+
+SELECTION RULE — `udf_window_agg` vs `udf_window_agg_fast`:
+`udf_window_agg` (grouped-agg pandas UDF `.over()` a running frame)
+invokes Python ONCE PER ROW-FRAME — cost grows with rows × frame, a
+scale-killer over frames of more than ~1k rows. It exists only as the
+API-surface demo of the `.over()` form. For any real workload use
+`udf_window_agg_fast` (applyInPandas: one Python kernel per GROUP,
+cumulative numpy inside — cost = rows, single shuffle, no Window).
+Never ship the per-frame form over >1k-row frames or unbounded
+partitions at 100 TB.
 """
 
 from __future__ import annotations
