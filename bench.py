@@ -93,6 +93,15 @@ HEADLINE = [
     "agg_gini",
     "join_nearest_event",
     "udf_grouped_train",
+    "fn_url_canonicalize",
+    "transform_onehot",
+    "win_sessionize",
+    "win_streak",
+    "agg_cooccurrence",
+    "agg_ab_lift",
+    "text_readability",
+    "dedup_prefix_cluster",
+    "win_ema",
 ]
 
 

@@ -50,4 +50,5 @@ from census_postgres_py_spark.operators import (  # noqa: F401
     setops,
     aggregates,
     dedup,
+    ext_round4,
 )

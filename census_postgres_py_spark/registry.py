@@ -69,6 +69,10 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "agg_time_to_convert", "agg_gini", "udf_window_agg_fast",
     "udf_model_score", "udf_grouped_train", "mm_resize", "mm_audio_features",
     "join_interval_bin", "join_nearest_event",
+    # --- r4-added operators (§2.15): graded after the 82 above ---
+    "fn_url_canonicalize", "transform_onehot", "win_sessionize",
+    "win_streak", "agg_cooccurrence", "agg_ab_lift", "text_readability",
+    "dedup_prefix_cluster", "win_ema",
 )
 
 

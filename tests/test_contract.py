@@ -86,6 +86,10 @@ SURVEY_IDS = {
     "win_attribution_last_touch", "scan_jsonl_permissive",
     "agg_time_to_convert", "agg_gini", "sink_manifest_stats",
     "udf_grouped_train", "join_nearest_event",
+    # §2.15 round-4 extensions
+    "fn_url_canonicalize", "transform_onehot", "win_sessionize",
+    "win_streak", "agg_cooccurrence", "agg_ab_lift", "text_readability",
+    "dedup_prefix_cluster", "win_ema",
 }
 
 

@@ -103,3 +103,33 @@ def test_ivf_quantizer_collect_is_bounded():
     src = inspect.getsource(similarity.join_similarity_ivf)
     assert "e.collect()" not in src
     assert "_TRAIN_CAP" in src
+
+def test_ivf_recall_at_nprobe_4(spark, queries, monkeypatch):
+    """Edge of the probe budget (r3 verdict hardening item): halving
+    nprobe from 8 to 4 must degrade recall gracefully, not collapse —
+    the cell ranking (probe @ centroid.T argsort) has to put true
+    neighbors' cells in the top few. Measured 0.73 at sf0.01."""
+    from census_postgres_py_spark.operators import similarity
+
+    monkeypatch.setattr(similarity, "N_PROBE_CELLS", 4)
+    got = _hits(queries["join_similarity_ivf"](spark, SF_T2))
+    exact4 = _hits(queries["join_similarity_topk"](spark, SF_T2))
+    recall = len(exact4 & got) / len(exact4)
+    assert recall >= 0.45, f"IVF recall {recall:.2f} at nprobe=4"
+
+
+def test_topk_probe_join_stays_broadcast_as_probes_grow(
+    spark, queries, monkeypatch
+):
+    """r3 verdict hardening item: the exact top-k path broadcasts the
+    probe side; a silent flip to SortMergeJoin/CartesianProduct on a
+    bigger probe set would shuffle the full corpus per probe. 40x the
+    probe set and pin the plan shape."""
+    from census_postgres_py_spark.operators import similarity
+    from census_postgres_py_spark.plans import executed_plan
+
+    monkeypatch.setattr(similarity, "PROBE_IDS", list(range(0, 400, 2)))
+    plan = executed_plan(queries["join_similarity_topk"](spark, SF_T2))
+    assert "Broadcast" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan

@@ -1,0 +1,163 @@
+"""sf0.1 -> sf1 scaling spot-bench for the candidate-generation family.
+
+VERDICT.md r3 item 5: convert the 100 TB design story into at least one
+order-of-magnitude scaling measurement. Times the dedup/similarity ops
+whose scale posture rests on bucketed/banded candidate generation at the
+driver's sf0.1 and at the 10x synthetic corpus from tools/gen_stress.py
+(documents 5k -> 50k rows, embeddings 2k -> 20k rows), and prints
+per-op wall seconds + the scaling ratio. A bucketed path should scale
+~linearly in rows + collisions; an accidental all-pairs path would show
+a ~100x blowup — that cliff is what this harness exists to catch.
+
+dedup_minhash / dedup_simhash cap their corpus at doc_id < 200 by
+SURVEY design (oracle-sized fixture); the stress run lifts the cap by
+patching the `_with_dups` seam so those ops process the FULL documents
+table at both scales. pipeline_dedup_e2e's cap is inline, so its
+dataflow (inverted-index candidates -> exact Jaccard -> min-label CC ->
+survivor per cluster) is re-composed here uncapped from the same module
+helpers (`_shingled`, `_inverted_index_jaccard`) — identical plan
+shape, full corpus.
+
+Usage: python tools/stress_bench.py [--sf01 /root/testdata/sf0.1]
+       [--sf1 /tmp/stress_sf1]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+
+def _uncapped_docs(spark, sf_dir):
+    from census_postgres_py_spark.tables import t
+
+    return t(spark, sf_dir, "documents").select("doc_id", "text")
+
+
+def _cc_pipeline_uncapped(spark, sf_dir):
+    """pipeline_dedup_e2e's dataflow over the FULL corpus (no doc_id
+    cap, no synthetic mutation generations — the stress corpus has
+    planted near-dups of its own)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+    from census_postgres_py_spark.operators.dedup import (
+        _inverted_index_jaccard,
+        _shingled,
+    )
+
+    shingled = _shingled(_uncapped_docs(spark, sf_dir))
+    pairs = _inverted_index_jaccard(shingled).select("a_id", "b_id")
+    edges = (
+        pairs.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
+        .unionByName(
+            pairs.select(
+                F.col("b_id").alias("src"), F.col("a_id").alias("dst")
+            )
+        )
+        .localCheckpoint()
+    )
+    labels = shingled.select(
+        "doc_id", F.col("doc_id").alias("label")
+    ).localCheckpoint()
+    for _ in range(64):
+        prop = edges.join(labels, F.col("src") == F.col("doc_id")).select(
+            F.col("dst").alias("doc_id"), "label"
+        )
+        new_labels = (
+            labels.unionByName(prop)
+            .groupBy("doc_id")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    sizes = shingled.select("doc_id", "n_sh")
+    joined = labels.join(sizes, "doc_id")
+    w = Window.partitionBy("label").orderBy(
+        F.col("n_sh").desc(), F.col("doc_id")
+    )
+    wc = Window.partitionBy("label")
+    return (
+        joined.select(
+            "label",
+            "doc_id",
+            F.row_number().over(w).alias("rn"),
+            F.count("*").over(wc).alias("n_docs"),
+        )
+        .filter(F.col("rn") == 1)
+        .select("label", "doc_id", "n_docs")
+    )
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf01", default="/root/testdata/sf0.1")
+    ap.add_argument("--sf1", default="/tmp/stress_sf1")
+    ap.add_argument("--cpus", default="32")
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master(f"local[{args.cpus}]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.driver.memory", "16g")
+        .config("spark.sql.session.timeZone", "UTC")
+        .appName("stress-bench")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from census_postgres_py_spark import registry
+    from census_postgres_py_spark.operators import dedup
+
+    orig = dedup._with_dups
+    dedup._with_dups = _uncapped_docs
+    try:
+        qs = registry.all_queries()
+        runs = [
+            ("dedup_minhash", lambda s, d: qs["dedup_minhash"](s, d)),
+            ("dedup_simhash", lambda s, d: qs["dedup_simhash"](s, d)),
+            (
+                "dedup_embedding_cosine",
+                lambda s, d: qs["dedup_embedding_cosine"](s, d),
+            ),
+            (
+                "join_similarity_ivf",
+                lambda s, d: qs["join_similarity_ivf"](s, d),
+            ),
+            ("pipeline_dedup_cc", _cc_pipeline_uncapped),
+        ]
+        # one warm-up pass so JVM/Arrow first-touch isn't in either side
+        runs[0][1](spark, args.sf01).write.mode("overwrite").format(
+            "noop"
+        ).save()
+        results: dict[str, dict[str, float]] = {}
+        for name, fn in runs:
+            results[name] = {}
+            for label, sf_dir in (("sf0.1", args.sf01), ("sf1", args.sf1)):
+                t0 = time.time()
+                fn(spark, sf_dir).write.mode("overwrite").format(
+                    "noop"
+                ).save()
+                dt = time.time() - t0
+                results[name][label] = round(dt, 3)
+                print(f"{name} @ {label}: {dt:.2f}s", flush=True)
+            r = results[name]
+            r["ratio"] = round(r["sf1"] / r["sf0.1"], 2)
+            print(f"{name} scaling ratio (10x rows): {r['ratio']}x", flush=True)
+        print(json.dumps(results))
+    finally:
+        dedup._with_dups = orig
+
+
+if __name__ == "__main__":
+    main()
