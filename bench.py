@@ -102,6 +102,13 @@ HEADLINE = [
     "text_readability",
     "dedup_prefix_cluster",
     "win_ema",
+    "emb_label_confusion",
+    "emb_outlier_topk",
+    "agg_heavy_hitters",
+    "dq_fk_orphans",
+    "transform_bucketize",
+    "agg_zorder_cells",
+    "mm_phash_dedup",
 ]
 
 

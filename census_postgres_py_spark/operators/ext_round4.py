@@ -565,3 +565,484 @@ def win_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         (F.floor(num / den * 100 + F.lit(0.5)) / 100).alias("ema_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch 2: embedding diagnostics, warehouse audits, feature prep, phash dedup
+# ---------------------------------------------------------------------------
+
+_EMB_DIM = 64
+
+
+def _label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(label, n_vectors, centroid array<double>) via Summarizer.mean —
+    fixed-width combinable accumulators, ONE small shuffle on label,
+    no 64x explode (emb_centroid_label's idiom)."""
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+    from pyspark.ml.stat import Summarizer
+
+    e = t(spark, sf_dir, "embeddings")
+    return (
+        e.select("label", array_to_vector(F.col("embedding")).alias("v"))
+        .groupBy("label")
+        .agg(
+            Summarizer.mean(F.col("v")).alias("c"),
+            F.count("*").alias("n_vectors"),
+        )
+        .select(
+            "label",
+            "n_vectors",
+            vector_to_array(F.col("c")).alias("centroid"),
+        )
+    )
+
+
+def _r6(c):
+    return F.floor(c * 1000000 + F.lit(0.5)) / 1000000
+
+
+_CENT_SQL = f"""
+    cent AS (
+        SELECT label, i AS pos, avg(CAST(embedding[i] AS DOUBLE)) AS m
+        FROM embeddings, range(1, {_EMB_DIM + 1}) t(i)
+        GROUP BY label, i
+    ), carr AS (
+        SELECT label, list(m ORDER BY pos) AS centroid
+        FROM cent GROUP BY label
+    )
+"""
+
+
+@register(
+    "emb_label_confusion",
+    oracle=f"""
+    WITH {_CENT_SQL}
+    SELECT a.label AS label_a, b.label AS label_b,
+           floor(list_cosine_similarity(a.centroid, b.centroid) * 1000000
+                 + 0.5) / 1000000 AS confusion
+    FROM carr a JOIN carr b ON a.label < b.label
+    """,
+)
+def emb_label_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-label centroid cosine matrix — which classes are entangled
+    in embedding space (high off-diagonal cosine = the labeler or the
+    encoder can't tell them apart). The training-data QA report run
+    after every re-embed.
+
+    Centroids via one Summarizer pass (|labels| rows), then the
+    pairwise matrix is a self-join of that TINY frame (45 pairs here)
+    — a bounded BroadcastNestedLoopJoin on label<label, explicitly NOT
+    the corpus joined to itself; corpus cost stays one combinable
+    shuffle no matter how many vectors."""
+    from census_postgres_py_spark.functions.vector import cosine
+
+    cent = _label_centroids(spark, sf_dir)
+    a = cent.select(
+        F.col("label").alias("label_a"), F.col("centroid").alias("ca")
+    )
+    b = cent.select(
+        F.col("label").alias("label_b"), F.col("centroid").alias("cb")
+    )
+    return (
+        a.join(F.broadcast(b), F.col("label_a") < F.col("label_b"))
+        .select(
+            "label_a",
+            "label_b",
+            _r6(cosine(F.col("ca"), F.col("cb"))).alias("confusion"),
+        )
+    )
+
+
+_OUTLIER_K = 5
+
+
+@register(
+    "emb_outlier_topk",
+    oracle=f"""
+    WITH {_CENT_SQL},
+    scored AS (
+        SELECT e.label, e.vec_id,
+               floor(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                            c.centroid) * 1000000 + 0.5)
+                   / 1000000 AS cos_r
+        FROM embeddings e JOIN carr c USING (label)
+    ), ranked AS (
+        SELECT label, vec_id, cos_r,
+               row_number() OVER (PARTITION BY label
+                                  ORDER BY cos_r, vec_id) AS rn
+        FROM scored
+    )
+    SELECT label, vec_id, cos_r AS cos_to_centroid, CAST(rn AS BIGINT) AS rn
+    FROM ranked WHERE rn <= {_OUTLIER_K}
+    """,
+)
+def emb_outlier_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label mislabel candidates: the k vectors FARTHEST from their
+    own label centroid (lowest cosine). What a data-quality loop sends
+    for re-annotation.
+
+    Centroids broadcast back onto the corpus (O(dim) per row), ranking
+    is a WindowGroupLimit per label — no global sort. Ranking happens
+    on the ROUNDED cosine (6dp) with vec_id tiebreak so rank order is
+    engine-identical even at float-merge ULP differences."""
+    from census_postgres_py_spark.functions.vector import cosine
+
+    cent = _label_centroids(spark, sf_dir).select("label", "centroid")
+    e = t(spark, sf_dir, "embeddings")
+    scored = e.join(F.broadcast(cent), "label").select(
+        "label",
+        "vec_id",
+        _r6(cosine(F.col("embedding"), F.col("centroid"))).alias("cos_r"),
+    )
+    w = Window.partitionBy("label").orderBy("cos_r", "vec_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= _OUTLIER_K)
+        .select(
+            "label", "vec_id", F.col("cos_r").alias("cos_to_centroid"), "rn"
+        )
+    )
+
+
+_HH_FACTOR_X10 = 14  # heavy hitter: support >= 1.4x the mean part support
+
+
+@register(
+    "agg_heavy_hitters",
+    oracle=f"""
+    WITH supp AS (
+        SELECT l_partkey AS part, CAST(count(DISTINCT l_orderkey) AS BIGINT)
+                   AS n_orders
+        FROM lineitem GROUP BY l_partkey
+    ), tot AS (
+        SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_total,
+               CAST((SELECT count(*) FROM supp) AS BIGINT) AS n_parts,
+               CAST((SELECT sum(n_orders) FROM supp) AS BIGINT) AS sum_supp
+        FROM lineitem
+    )
+    SELECT part, n_orders,
+           n_orders * 1000000 // n_total AS support_ppm
+    FROM supp, tot
+    WHERE n_orders * n_parts * 10 >= {_HH_FACTOR_X10} * sum_supp
+    """,
+)
+def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT heavy hitters: parts whose order-support is >= 1.4x the
+    corpus-mean part support, with integer ppm support. The two-pass
+    exact answer that sketch methods (count-min, Misra-Gries)
+    approximate — the per-part support agg is combinable and the
+    corpus totals are one scalar row, so exactness costs one extra
+    shuffle at 100 TB, never a driver bottleneck.
+
+    The threshold is RELATIVE (n·|parts|·10 >= 14·Σn) in pure integer
+    arithmetic — no float division before the filter, the cut is exact
+    and engine-identical, and the definition survives any scale factor
+    (an absolute ppm cut empties as the catalog grows). The 1-row
+    totals frame crossJoins on (broadcast) — the text_tfidf
+    scalar-broadcast idiom."""
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    supp = (
+        li.distinct()
+        .groupBy(F.col("l_partkey").alias("part"))
+        .agg(F.count("*").cast("long").alias("n_orders"))
+    )
+    tot = supp.agg(
+        F.count("*").cast("long").alias("n_parts"),
+        F.sum("n_orders").cast("long").alias("sum_supp"),
+    ).crossJoin(
+        F.broadcast(
+            li.agg(
+                F.countDistinct("l_orderkey").cast("long").alias("n_total")
+            )
+        )
+    )
+    return (
+        supp.crossJoin(F.broadcast(tot))
+        .filter(
+            F.col("n_orders") * F.col("n_parts") * 10
+            >= F.lit(_HH_FACTOR_X10) * F.col("sum_supp")
+        )
+        .select(
+            "part",
+            "n_orders",
+            F.expr("n_orders * 1000000 div n_total").alias("support_ppm"),
+        )
+    )
+
+
+@register(
+    "dq_fk_orphans",
+    oracle="""
+    SELECT 'lineitem->orders' AS fk,
+           CAST((SELECT count(*) FROM lineitem) AS BIGINT) AS n_checked,
+           CAST((SELECT count(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                   WHERE o.o_orderkey = l.l_orderkey))
+                AS BIGINT) AS n_orphans
+    UNION ALL
+    SELECT 'lineitem->part',
+           CAST((SELECT count(*) FROM lineitem) AS BIGINT),
+           CAST((SELECT count(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM part p
+                                   WHERE p.p_partkey = l.l_partkey))
+                AS BIGINT)
+    UNION ALL
+    SELECT 'orders->customer',
+           CAST((SELECT count(*) FROM orders) AS BIGINT),
+           CAST((SELECT count(*) FROM orders o
+                 WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                   WHERE c.c_custkey = o.o_custkey))
+                AS BIGINT)
+    """,
+)
+def dq_fk_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit: orphan counts for the three FK
+    edges of the star (lineitem->orders, lineitem->part,
+    orders->customer) in one report — the day-one data-quality gate of
+    any warehouse load, and the check the reference delegated to
+    Postgres FK constraints.
+
+    Each edge is a LEFT ANTI join against the (broadcast) parent key
+    set + a count — no row ever leaves the executor, output is 3 rows.
+    A healthy load reports zeros; the value is the loud nonzero after
+    a bad partial load."""
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    p = t(spark, sf_dir, "part")
+    c = t(spark, sf_dir, "customer")
+
+    def edge(fact: DataFrame, fk: str, dim: DataFrame, pk: str, name: str):
+        n_checked = fact.count()
+        orphans = fact.join(
+            F.broadcast(dim.select(pk)),
+            fact[fk] == dim[pk],
+            "left_anti",
+        ).count()
+        return spark.createDataFrame(
+            [(name, n_checked, orphans)],
+            "fk string, n_checked long, n_orphans long",
+        )
+
+    return (
+        edge(li, "l_orderkey", o, "o_orderkey", "lineitem->orders")
+        .unionByName(edge(li, "l_partkey", p, "p_partkey", "lineitem->part"))
+        .unionByName(
+            edge(o, "o_custkey", c, "c_custkey", "orders->customer")
+        )
+    )
+
+
+_BUCKET_W = 50000
+
+
+@register(
+    "transform_bucketize",
+    oracle=f"""
+    SELECT o_orderkey,
+           CAST(least(floor(o_totalprice / {_BUCKET_W}), 9) AS BIGINT)
+               AS bucket,
+           '[' || CAST(CAST(least(floor(o_totalprice / {_BUCKET_W}), 9)
+                            * {_BUCKET_W} AS BIGINT) AS VARCHAR)
+               || ',' ||
+               CASE WHEN least(floor(o_totalprice / {_BUCKET_W}), 9) = 9
+                    THEN 'inf'
+                    ELSE CAST(CAST((least(floor(o_totalprice / {_BUCKET_W}),
+                                          9) + 1) * {_BUCKET_W} AS BIGINT)
+                              AS VARCHAR) END
+               || ')' AS bucket_label
+    FROM orders
+    """,
+)
+def transform_bucketize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width numeric binning with labeled ranges (the feature-
+    prep discretizer + the histogram axis every BI tool renders). Bin
+    edges are compile-time constants — never inferred from data, so
+    the same order lands in the same bucket on every run and every
+    engine; the top bucket is open-ended ('[450000,inf)').
+
+    Codegen'd floor arithmetic + string concat, shuffle-free."""
+    o = t(spark, sf_dir, "orders")
+    b = F.least(F.floor(F.col("o_totalprice") / _BUCKET_W), F.lit(9)).cast(
+        "long"
+    )
+    lo = (b * _BUCKET_W).cast("long").cast("string")
+    hi = F.when(b == 9, F.lit("inf")).otherwise(
+        ((b + 1) * _BUCKET_W).cast("long").cast("string")
+    )
+    return o.select(
+        "o_orderkey",
+        b.alias("bucket"),
+        F.concat(F.lit("["), lo, F.lit(","), hi, F.lit(")")).alias(
+            "bucket_label"
+        ),
+    )
+
+
+_ZCELL_SHIFT = 8  # drop 4 low bits per dimension -> 16x16-key cells
+
+
+@register(
+    "agg_zorder_cells",
+    oracle=f"""
+    WITH z AS (
+        SELECT l_partkey AS pk, l_suppkey AS sk,
+               {" | ".join(
+                   f"(((l_partkey >> {i}) & 1) << {2 * i + 1})"
+                   f" | (((l_suppkey >> {i}) & 1) << {2 * i})"
+                   for i in range(16)
+               )} AS zval
+        FROM lineitem
+    )
+    SELECT zval >> {_ZCELL_SHIFT} AS cell,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(max(pk) - min(pk) AS BIGINT) AS pk_span,
+           CAST(max(sk) - min(sk) AS BIGINT) AS sk_span
+    FROM z GROUP BY cell
+    """,
+)
+def agg_zorder_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) cell statistics: interleave the bits of the
+    two join/filter keys, truncate the curve to prefix cells, and
+    report each cell's row count + bounding box. The point of z-order
+    clustering made measurable: every cell's bbox is tiny in BOTH
+    dimensions (<= 15 here), so zone maps built on z-sorted files can
+    skip on either predicate — a lexicographic sort gets one tight
+    dimension and one full-domain dimension.
+
+    The Morton code is a 32-term codegen'd bit expression (shifts,
+    masks, ors — JVM intrinsics); cells come from ONE hash shuffle on
+    the z-prefix. No global sort anywhere: at 100 TB the same
+    expression is the repartitionByRange key at write time, and this
+    op is the audit you run on the result (sink_manifest_stats'
+    zone-map twin)."""
+    li = t(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk")
+    )
+    zbits = None
+    for i in range(16):
+        term = F.shiftleft(
+            F.shiftright(F.col("pk"), i).bitwiseAND(F.lit(1)), 2 * i + 1
+        ).bitwiseOR(
+            F.shiftleft(
+                F.shiftright(F.col("sk"), i).bitwiseAND(F.lit(1)), 2 * i
+            )
+        )
+        zbits = term if zbits is None else zbits.bitwiseOR(term)
+    z = li.withColumn("zval", zbits)
+    return (
+        z.groupBy(
+            F.shiftright(F.col("zval"), _ZCELL_SHIFT).alias("cell")
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            (F.max("pk") - F.min("pk")).cast("long").alias("pk_span"),
+            (F.max("sk") - F.min("sk")).cast("long").alias("sk_span"),
+        )
+    )
+
+
+_PHASH_HAM = 6  # 8 bands of 8 bits: <=6 flips leaves >=2 bands intact
+
+
+def _phash_batches(batches):
+    """Arrow-batch kernel: SIMG payload -> 64-bit average-hash.
+
+    Real decode (multimodal._parse_img), crop to the 8x8-divisible
+    region, block-mean to an 8x8 grid, threshold at the grid mean,
+    pack row-major into a signed int64 (two's complement)."""
+    import numpy as np
+    import pandas as pd
+
+    from census_postgres_py_spark.operators.multimodal import _parse_img
+
+    for pdf in batches:
+        if not len(pdf):
+            continue
+        ids, hashes = [], []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            w, h, px = _parse_img(bytes(payload))
+            img = px.reshape(h, w).astype(np.float64)
+            hb, wb = h // 8, w // 8
+            cells = (
+                img[: hb * 8, : wb * 8]
+                .reshape(8, hb, 8, wb)
+                .mean(axis=(1, 3))
+            )
+            bits = (cells > cells.mean()).flatten()
+            val = 0
+            for i, b in enumerate(bits):
+                if b:
+                    val |= 1 << i
+            if val >= 1 << 63:
+                val -= 1 << 64
+            ids.append(int(doc_id))
+            hashes.append(val)
+        yield pd.DataFrame(
+            {"doc_id": ids, "phash": np.array(hashes, dtype=np.int64)}
+        )
+
+
+@register("mm_phash_dedup")  # binary decode kernel => rows-only check
+def mm_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash image dedup — the multimodal twin of
+    dedup_simhash: decode every SIMG payload, compute a 64-bit 8x8
+    average-hash inside one mapInPandas stage, then find all image
+    pairs within Hamming distance {6} via 8-bit byte-band candidate
+    generation + exact popcount verify.
+
+    Recall is EXACT by pigeonhole (6 flips touch at most 6 of the 8
+    bands, so every qualifying pair shares >= 2 intact bands and
+    surfaces in the equi-join); rows-only for the driver because the
+    decode kernel isn't SQL-expressible — tests/test_ext_round4.py
+    brute-forces the identical answer in numpy and compares sets. At
+    100 TB: hashes are 8 bytes/image written at ingest; the band join
+    is the same banded-LSH shuffle shape as the text dedups — never
+    all-pairs."""
+    from census_postgres_py_spark.operators.multimodal import _payloads
+
+    hashes = _payloads(spark, sf_dir).mapInPandas(
+        _phash_batches, schema="doc_id long, phash long"
+    )
+    bands = hashes.select(
+        "doc_id",
+        "phash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        F.shiftrightunsigned(F.col("phash"), 8 * b)
+                        .bitwiseAND(F.lit(255))
+                        .alias("band_val"),
+                    )
+                    for b in range(8)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "phash", "bb.band_idx", "bb.band_val")
+    a = bands.select(
+        F.col("doc_id").alias("a_id"),
+        F.col("phash").alias("a_hash"),
+        "band_idx",
+        "band_val",
+    )
+    b = bands.select(
+        F.col("doc_id").alias("b_id"),
+        F.col("phash").alias("b_hash"),
+        "band_idx",
+        "band_val",
+    )
+    cand = (
+        a.join(b, ["band_idx", "band_val"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", "a_hash", "b_hash")
+        .distinct()
+    )
+    ham = F.bit_count(
+        F.col("a_hash").bitwiseXOR(F.col("b_hash"))
+    ).cast("long")
+    return (
+        cand.withColumn("hamming", ham)
+        .filter(F.col("hamming") <= _PHASH_HAM)
+        .select("a_id", "b_id", "hamming")
+    )

@@ -72,7 +72,9 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     # --- r4-added operators (§2.15): graded after the 82 above ---
     "fn_url_canonicalize", "transform_onehot", "win_sessionize",
     "win_streak", "agg_cooccurrence", "agg_ab_lift", "text_readability",
-    "dedup_prefix_cluster", "win_ema",
+    "dedup_prefix_cluster", "win_ema", "emb_label_confusion",
+    "emb_outlier_topk", "agg_heavy_hitters", "dq_fk_orphans",
+    "transform_bucketize", "agg_zorder_cells", "mm_phash_dedup",
 )
 
 

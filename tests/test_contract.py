@@ -89,7 +89,9 @@ SURVEY_IDS = {
     # §2.15 round-4 extensions
     "fn_url_canonicalize", "transform_onehot", "win_sessionize",
     "win_streak", "agg_cooccurrence", "agg_ab_lift", "text_readability",
-    "dedup_prefix_cluster", "win_ema",
+    "dedup_prefix_cluster", "win_ema", "emb_label_confusion",
+    "emb_outlier_topk", "agg_heavy_hitters", "dq_fk_orphans",
+    "transform_bucketize", "agg_zorder_cells", "mm_phash_dedup",
 }
 
 

@@ -194,3 +194,123 @@ def test_sessionize_single_exchange(spark, queries):
     grouping key, so the whole op should pay ONE hash exchange."""
     plan = executed_plan(queries["win_sessionize"](spark, SF_SMOKE))
     assert plan.count("Exchange hashpartitioning") <= 1, plan
+
+
+# --- batch 2 ---
+
+
+def test_label_confusion_shape_and_bounds(spark, queries):
+    df = queries["emb_label_confusion"](spark, SF_T2).toPandas()
+    assert len(df) == 45  # C(10,2) label pairs
+    assert (df["label_a"] < df["label_b"]).all()
+    assert df["confusion"].between(-1.0, 1.0).all()
+
+
+def test_outlier_topk_is_bottom_of_each_label(spark, queries):
+    df = queries["emb_outlier_topk"](spark, SF_T2).toPandas()
+    assert (df.groupby("label")["rn"].apply(
+        lambda s: sorted(s) == [1, 2, 3, 4, 5]
+    )).all()
+    # outliers sit below their label's average cohesion
+    coh = queries["emb_centroid_label"](spark, SF_T2).toPandas()
+    avg = coh.set_index("label")["avg_cos"]
+    worst = df[df["rn"] == 1].set_index("label")["cos_to_centroid"]
+    assert (worst < avg.loc[worst.index]).all()
+
+
+def test_heavy_hitters_threshold_exact(spark, queries):
+    from census_postgres_py_spark.tables import t
+
+    got = queries["agg_heavy_hitters"](spark, SF_T2).toPandas()
+    li = (
+        t(spark, SF_T2, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .toPandas()
+    )
+    supp = li.groupby("l_partkey").size()
+    expected = supp[supp * len(supp) * 10 >= 14 * supp.sum()]
+    assert set(got["part"]) == set(expected.index)
+    assert len(got) > 0
+
+
+def test_fk_orphans_all_zero_on_consistent_fixture(spark, queries):
+    df = queries["dq_fk_orphans"](spark, SF_SMOKE).toPandas()
+    assert set(df["fk"]) == {
+        "lineitem->orders", "lineitem->part", "orders->customer"
+    }
+    assert (df["n_orphans"] == 0).all()
+    assert (df["n_checked"] > 0).all()
+
+
+def test_bucketize_recompute(spark, queries):
+    import numpy as np
+
+    from census_postgres_py_spark.tables import t
+
+    got = queries["transform_bucketize"](spark, SF_T2).toPandas()
+    o = t(spark, SF_T2, "orders").select(
+        "o_orderkey", "o_totalprice"
+    ).toPandas()
+    m = got.merge(o, on="o_orderkey")
+    exp = np.minimum(np.floor(m["o_totalprice"] / 50000), 9).astype(int)
+    assert (m["bucket"] == exp).all()
+    assert (m["bucket_label"].str.startswith("[")).all()
+    assert (m.loc[m["bucket"] == 9, "bucket_label"] == "[450000,inf)").all()
+
+
+def test_zorder_cells_are_tight_in_both_dims(spark, queries):
+    """The z-order claim itself: every prefix cell's bounding box is
+    small in BOTH keys (<= 15 after dropping 4 bits/dim) — a
+    lexicographic sort would give sk_span ~ the full domain for most
+    pk ranges."""
+    from census_postgres_py_spark.tables import t
+
+    df = queries["agg_zorder_cells"](spark, SF_T2).toPandas()
+    assert (df["pk_span"] <= 15).all()
+    assert (df["sk_span"] <= 15).all()
+    assert int(df["n_rows"].sum()) == t(spark, SF_T2, "lineitem").count()
+
+
+def test_phash_dedup_matches_numpy_bruteforce(spark, queries):
+    import numpy as np
+
+    from census_postgres_py_spark.operators.multimodal import _encode_img, _parse_img
+    from census_postgres_py_spark.tables import t
+
+    got = {
+        (r["a_id"], r["b_id"], r["hamming"])
+        for r in queries["mm_phash_dedup"](spark, SF_SMOKE).collect()
+    }
+    ids = [
+        r["doc_id"] for r in t(spark, SF_SMOKE, "documents").select("doc_id").collect()
+    ]
+
+    def phash(doc_id):
+        w, h, px = _parse_img(_encode_img(doc_id))
+        img = px.reshape(h, w).astype(np.float64)
+        hb, wb = h // 8, w // 8
+        cells = img[: hb * 8, : wb * 8].reshape(8, hb, 8, wb).mean(axis=(1, 3))
+        bits = (cells > cells.mean()).flatten()
+        v = 0
+        for i, b in enumerate(bits):
+            if b:
+                v |= 1 << i
+        return v
+
+    hashes = {d: phash(d) for d in ids}
+    expected = set()
+    sids = sorted(ids)
+    for i, a in enumerate(sids):
+        for b in sids[i + 1:]:
+            ham = bin(hashes[a] ^ hashes[b]).count("1")
+            if ham <= 6:
+                expected.add((a, b, ham))
+    assert got == expected
+    assert expected  # fixture must actually contain near-dup images
+
+
+def test_phash_no_cartesian(spark, queries):
+    plan = executed_plan(queries["mm_phash_dedup"](spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -70,12 +70,28 @@ def gen_documents(n: int, rng: np.random.Generator) -> pa.Table:
 
 
 def gen_embeddings(n: int, rng: np.random.Generator, dim: int = 64) -> pa.Table:
+    """Match the driver fixture's similarity DISTRIBUTION (measured at
+    sf0.1: p99 pairwise cos 0.287, only 144/2M pairs >= 0.45): weak
+    cluster pull over near-random unit vectors, plus ~3.5% planted
+    near-dups — pair density stays LINEAR in n, like the real corpus.
+    (A tightly-clustered first draft made every intra-cluster pair a
+    candidate: quadratic pair blow-up that no candidate generator —
+    and no real dedup corpus — exhibits.)"""
     centers = rng.normal(size=(10, dim)).astype(np.float32)
     labels = rng.integers(0, 10, size=n)
-    vecs = centers[labels] + 0.35 * rng.normal(size=(n, dim)).astype(
+    vecs = 0.3 * centers[labels] + rng.normal(size=(n, dim)).astype(
         np.float32
     )
     vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    n_dup = int(n * 0.035)
+    src = rng.integers(0, n, size=n_dup)
+    dst = rng.integers(0, n, size=n_dup)
+    for s, d in zip(src, dst):
+        if s == d:
+            continue
+        v = vecs[s] + 0.45 * rng.normal(size=dim).astype(np.float32)
+        vecs[d] = v / np.linalg.norm(v)
+        labels[d] = labels[s]
     return pa.table(
         {
             "vec_id": pa.array(np.arange(n), pa.int64()),
