@@ -109,6 +109,11 @@ HEADLINE = [
     "transform_bucketize",
     "agg_zorder_cells",
     "mm_phash_dedup",
+    "join_point_in_time",
+    "join_range_dim",
+    "agg_weighted_percentile",
+    "sink_csv_escaped",
+    "pipeline_warehouse_e2e",
 ]
 
 

@@ -1046,3 +1046,332 @@ def mm_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("hamming") <= _PHASH_HAM)
         .select("a_id", "b_id", "hamming")
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch 3: point-in-time join, rules-as-data range dim, weighted median,
+# escaped-CSV round-trip, warehouse e2e composition
+# ---------------------------------------------------------------------------
+
+_SCD_OPEN = "9999-12-31"
+
+
+@register(
+    "join_point_in_time",
+    oracle=f"""
+    WITH hist AS (
+        SELECT o_custkey,
+               CAST(row_number() OVER w AS BIGINT) AS version,
+               o_totalprice AS price,
+               CAST(o_orderdate AS DATE) AS valid_from,
+               coalesce(CAST(lead(o_orderdate) OVER w AS DATE),
+                        DATE '{_SCD_OPEN}') AS valid_to
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    ), fact AS (
+        SELECT o.o_custkey AS cust, l.l_orderkey, l.l_linenumber,
+               CAST(l.l_shipdate AS DATE) AS ship_date
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    )
+    SELECT f.l_orderkey, f.l_linenumber, f.cust, f.ship_date,
+           h.version AS pit_version, h.price AS pit_price
+    FROM fact f
+    JOIN hist h ON f.cust = h.o_custkey
+               AND f.ship_date >= h.valid_from
+               AND f.ship_date < h.valid_to
+    """,
+)
+def join_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (PIT) dimension lookup — enrich each fact row with
+    the dimension version that was valid ON ITS OWN DATE, not today's:
+    every shipment gets the customer's price attribute as of its ship
+    date. THE correctness primitive of ML feature backfills (feature
+    leakage = using today's dim for yesterday's fact) and of restated
+    warehouse reports.
+
+    NOT implemented as a range join (fact x every version, then
+    filter): the history and the facts are UNIONED and sorted once per
+    customer — dim rows sort before fact rows on ties — and a running
+    `last_value(ignore nulls)` carries the in-force version onto each
+    fact row. ONE hash shuffle on the key, O(1) state per row, no
+    interval blow-up; same-date version chains (zero-width intervals)
+    resolve to the latest version exactly like the oracle's strict
+    `< valid_to`. The oracle is the brute-force interval join.
+    """
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    wv = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    dim = o.select(
+        F.col("o_custkey").alias("cust"),
+        F.col("o_orderdate").cast("date").alias("d"),
+        F.row_number().over(wv).cast("long").alias("version"),
+        F.col("o_totalprice").alias("price"),
+        F.lit(1).alias("is_dim"),
+        F.lit(None).cast("long").alias("l_orderkey"),
+        F.lit(None).cast("long").alias("l_linenumber"),
+    )
+    fact = (
+        li.select("l_orderkey", "l_linenumber", "l_shipdate")
+        .join(
+            o.select(
+                F.col("o_orderkey"), F.col("o_custkey").alias("cust")
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select(
+            "cust",
+            F.col("l_shipdate").cast("date").alias("d"),
+            F.lit(None).cast("long").alias("version"),
+            F.lit(None).cast("double").alias("price"),
+            F.lit(0).alias("is_dim"),
+            "l_orderkey",
+            "l_linenumber",
+        )
+    )
+    merged = dim.unionByName(fact)
+    wm = (
+        Window.partitionBy("cust")
+        .orderBy(
+            "d",
+            F.col("is_dim").desc(),
+            F.coalesce(F.col("version"), F.lit(0)),
+            F.coalesce(F.col("l_orderkey"), F.lit(0)),
+            F.coalesce(F.col("l_linenumber"), F.lit(0)),
+        )
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = merged.select(
+        "*",
+        F.last("version", ignorenulls=True).over(wm).alias("pit_version"),
+        F.last("price", ignorenulls=True).over(wm).alias("pit_price"),
+    )
+    # Inner-PIT semantics: a fact dated BEFORE the key's first version
+    # has no in-force dimension and is dropped (this fixture's shipdates
+    # can precede the order date, so ~9% of facts predate version 1) —
+    # identical to the oracle's inner interval join. Keep the row with
+    # NULLs instead for left-PIT semantics.
+    return (
+        carried.filter(
+            (F.col("is_dim") == 0) & F.col("pit_version").isNotNull()
+        )
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "cust",
+            F.col("d").alias("ship_date"),
+            "pit_version",
+            "pit_price",
+        )
+    )
+
+
+_TIERS = [
+    (0, 1000, "T0_micro"),
+    (1000, 5000, "T1_small"),
+    (5000, 20000, "T2_mid"),
+    (20000, 75000, "T3_large"),
+    (75000, 200000, "T4_major"),
+    (200000, 600000, "T5_jumbo"),
+]
+
+
+@register(
+    "join_range_dim",
+    oracle=f"""
+    SELECT o.o_orderkey, v.tier, CAST(v.lo AS BIGINT) AS tier_lo
+    FROM orders o
+    JOIN (VALUES {", ".join(f"({lo}, {hi}, '{name}')" for lo, hi, name in _TIERS)})
+         v(lo, hi, tier)
+      ON o.o_totalprice >= v.lo AND o.o_totalprice < v.hi
+    """,
+)
+def join_range_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rules-as-data banded lookup: classify every order against a
+    TABLE of irregular value ranges (rate cards, tax brackets, SLA
+    tiers) — the join-shaped sibling of transform_bucketize's
+    compile-time arithmetic: here the bands live in data and change
+    without a deploy.
+
+    The band table is broadcast and the non-equi condition runs as a
+    BroadcastNestedLoopJoin — bounded at |fact| x |bands| predicate
+    evaluations with NO shuffle of the fact side, which is the right
+    plan when the dim is tiny and bands are irregular (for sorted
+    numeric bands at huge band counts, a bucketized equi-join like
+    join_interval_bin takes over).
+    """
+    dim = spark.createDataFrame(_TIERS, "lo long, hi long, tier string")
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.join(
+            F.broadcast(dim),
+            (F.col("o_totalprice") >= F.col("lo"))
+            & (F.col("o_totalprice") < F.col("hi")),
+        )
+        .select(
+            "o_orderkey", "tier", F.col("lo").cast("long").alias("tier_lo")
+        )
+    )
+
+
+@register(
+    "agg_weighted_percentile",
+    oracle="""
+    WITH base AS (
+        SELECT l_returnflag AS flag,
+               CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS y,
+               CAST(l_quantity AS BIGINT) AS wt,
+               l_orderkey, l_linenumber
+        FROM lineitem
+    ), cum AS (
+        SELECT flag, y, wt,
+               sum(wt) OVER (PARTITION BY flag
+                             ORDER BY y, l_orderkey, l_linenumber
+                             ROWS UNBOUNDED PRECEDING) AS cw,
+               sum(wt) OVER (PARTITION BY flag) AS tw
+        FROM base
+    )
+    SELECT flag,
+           min(y) AS wmedian_cents,
+           CAST(any_value(tw) AS BIGINT) AS total_weight
+    FROM cum WHERE cw * 2 >= tw
+    GROUP BY flag
+    """,
+)
+def agg_weighted_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT weighted median (quantity-weighted price per return
+    flag) — 'the price at which half the shipped VOLUME is cheaper',
+    which is the number pricing teams actually want and
+    `percentile(0.5)` can't give them.
+
+    Lower weighted median over integer cents and integer weights: one
+    window pass accumulates running weight, the answer is min(y) where
+    2·cumw >= totw — all-integer comparisons, no interpolation, no
+    float, so the result is exact and engine-identical. One shuffle on
+    the group key serves both window frames and the final agg."""
+    li = t(spark, sf_dir, "lineitem")
+    base = li.select(
+        F.col("l_returnflag").alias("flag"),
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("y"),
+        F.col("l_quantity").cast("long").alias("wt"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    wo = Window.partitionBy("flag").orderBy("y", "l_orderkey", "l_linenumber")
+    cum = base.select(
+        "flag",
+        "y",
+        F.sum("wt")
+        .over(wo.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("cw"),
+        F.sum("wt").over(Window.partitionBy("flag")).alias("tw"),
+    )
+    return (
+        cum.filter(F.col("cw") * 2 >= F.col("tw"))
+        .groupBy("flag")
+        .agg(
+            F.min("y").alias("wmedian_cents"),
+            F.first("tw").cast("long").alias("total_weight"),
+        )
+    )
+
+
+@register(
+    "sink_csv_escaped",
+    oracle="""
+    SELECT doc_id,
+           md5('v1,"' || lang || '"' || chr(10) || source) AS payload_md5
+    FROM documents
+    """,
+)
+def sink_csv_escaped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV round-trip with HOSTILE payloads — embedded delimiters,
+    double quotes, and newlines in every value — proving the sink's
+    quoting/escaping and the source's multiLine parser reproduce the
+    bytes exactly (the silent-corruption class of CSV interchange:
+    a naive split-on-comma reader shreds these rows).
+
+    Each document synthesizes the payload 'v1,"<lang>"\\n<source>'
+    (comma + quoted quote + hard newline), writes through the CSV sink
+    (default RFC-4180 quote-doubling), reads back with
+    multiLine=true, and emits md5(payload) per doc — the oracle
+    computes the same md5 from the definition, so one flipped or lost
+    byte anywhere in the write/read pair fails the hash."""
+    import os
+
+    from census_postgres_py_spark.operators.scans import _scratch
+
+    d = t(spark, sf_dir, "documents")
+    payload = F.concat(
+        F.lit('v1,"'),
+        F.col("lang"),
+        F.lit('"'),
+        F.lit("\n"),
+        F.col("source"),
+    )
+    out = d.select("doc_id", payload.alias("payload"))
+    path = _scratch(f"csv_escaped_{os.path.basename(sf_dir)}")
+    out.coalesce(4).write.mode("overwrite").option("header", True).csv(path)
+    back = (
+        spark.read.option("header", True)
+        .option("multiLine", True)
+        .schema("doc_id long, payload string")
+        .csv(path)
+    )
+    return back.select("doc_id", F.md5("payload").alias("payload_md5"))
+
+
+@register(
+    "pipeline_warehouse_e2e",
+    oracle="""
+    WITH current_state AS (
+        SELECT o_custkey, o_totalprice AS price
+        FROM (
+            SELECT o_custkey, o_totalprice, o_orderstatus,
+                   row_number() OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+            FROM orders
+        ) WHERE rn = 1 AND o_orderstatus <> 'P'
+    )
+    SELECT c.c_mktsegment AS segment,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(CAST(floor(s.price * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS state_cents,
+           CAST(sum(CASE WHEN s.price > 100000 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_large
+    FROM current_state s
+    JOIN customer c ON c.c_custkey = s.o_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def pipeline_warehouse_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed warehouse refresh, end to end: CDC changelog
+    compaction (cdc_apply's dataflow — latest change wins, deletes
+    drop) -> broadcast-join the surviving current state to the
+    customer dimension -> per-segment state report (customer counts,
+    exact integer-cents totals, large-account counts). What a team
+    replacing the reference's Postgres warehouse runs on every feed
+    arrival, as ONE lineage-connected plan: WindowGroupLimit top-1 per
+    key, one broadcast join, one combinable agg — three stages, two
+    shuffles, no driver state.
+    """
+    from census_postgres_py_spark.operators.cdc import cdc_apply
+
+    state = cdc_apply(spark, sf_dir)
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    joined = state.join(
+        F.broadcast(c), state["o_custkey"] == c["c_custkey"]
+    )
+    return joined.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.count("*").cast("long").alias("n_customers"),
+        F.sum(
+            F.floor(F.col("price") * 100 + F.lit(0.5)).cast("long")
+        )
+        .cast("long")
+        .alias("state_cents"),
+        F.sum(F.when(F.col("price") > 100000, 1).otherwise(0))
+        .cast("long")
+        .alias("n_large"),
+    )
