@@ -114,6 +114,7 @@ HEADLINE = [
     "agg_weighted_percentile",
     "sink_csv_escaped",
     "pipeline_warehouse_e2e",
+    "agg_count_min_sketch",
 ]
 
 

@@ -93,7 +93,7 @@ SURVEY_IDS = {
     "emb_outlier_topk", "agg_heavy_hitters", "dq_fk_orphans",
     "transform_bucketize", "agg_zorder_cells", "mm_phash_dedup",
     "join_point_in_time", "join_range_dim", "agg_weighted_percentile",
-    "sink_csv_escaped", "pipeline_warehouse_e2e",
+    "sink_csv_escaped", "pipeline_warehouse_e2e", "agg_count_min_sketch",
 }
 
 

@@ -435,3 +435,24 @@ def test_warehouse_e2e_consistent_with_cdc_apply(spark, queries):
     assert int(report["state_cents"].sum()) == int(
         (state["price"] * 100 + 0.5).apply(int).sum()
     )
+
+
+def test_cms_overcount_bounded_and_nonnegative(spark, queries):
+    """The count-min guarantee: estimates never undercount, and with
+    eps=5e-4 over 60k rows the overcount is bounded by eps*N = 30
+    (w.p. 0.99; deterministic here — fixed seed)."""
+    df = queries["agg_count_min_sketch"](spark, SF_T2).toPandas()
+    assert len(df) == 5
+    assert (df["overcount"] >= 0).all()
+    assert (df["overcount"] <= 30).all()
+    assert (df["exact_count"] > 0).all()
+
+
+def test_fk_orphans_single_action_plan(spark, queries):
+    """The union of the three edge checks must be ONE plan (no
+    per-edge count() actions): building the DataFrame triggers no
+    jobs, and the plan unions three aggregates."""
+    df = queries["dq_fk_orphans"](spark, SF_SMOKE)
+    plan = executed_plan(df)
+    assert plan.count("Union") >= 1
+    assert "BroadcastHashJoin" in plan
