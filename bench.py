@@ -115,6 +115,10 @@ HEADLINE = [
     "sink_csv_escaped",
     "pipeline_warehouse_e2e",
     "agg_count_min_sketch",
+    "win_rolling_zscore",
+    "transform_minmax_scale",
+    "fn_row_checksum",
+    "dq_dup_rate",
 ]
 
 

@@ -1444,3 +1444,235 @@ def agg_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch 4: rolling anomaly score, feature scaling, row checksums, dup-rate DQ
+# ---------------------------------------------------------------------------
+
+_Z_FRAME = 30
+_Z_MIN_N = 5
+
+
+@register(
+    "win_rolling_zscore",
+    oracle=f"""
+    WITH base AS (
+        SELECT o_custkey, o_orderkey,
+               CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS y
+        FROM orders
+    ), stats AS (
+        SELECT o_custkey, o_orderkey, y,
+               CAST(count(*) OVER w AS BIGINT) AS n,
+               CAST(sum(y) OVER w AS BIGINT) AS s,
+               CAST(sum(y * y) OVER w AS BIGINT) AS q
+        FROM base
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey
+                     ROWS BETWEEN {_Z_FRAME - 1} PRECEDING AND CURRENT ROW)
+    )
+    SELECT o_custkey, o_orderkey,
+           CASE WHEN n * q - s * s <= 0 THEN 0.0
+                ELSE floor((n * y - s)
+                           / sqrt(CAST(n * q - s * s AS DOUBLE) * n
+                                  / (n - 1))
+                           * 10000 + 0.5) / 10000 END AS zscore
+    FROM stats WHERE n >= {_Z_MIN_N}
+    """,
+)
+def win_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly signal: how many trailing-window
+    standard deviations each order sits from its customer's recent
+    mean — the alerting primitive behind spend-spike and fraud
+    monitors, windowed so the baseline adapts.
+
+    Sufficient statistics (count, Σy, Σy²) accumulate as EXACT
+    integers over the bounded ROWS frame in one window pass; the only
+    float work is the final (n·y − s)/√(...) projection, written as
+    the identical expression tree on both engines so IEEE rounding
+    matches step for step. Warm-up rows (n < 5) are excluded — a
+    2-sample std is noise, not baseline. One shuffle; O(1) state/row.
+    """
+    o = t(spark, sf_dir, "orders")
+    base = o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("y"),
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderkey")
+        .rowsBetween(-(_Z_FRAME - 1), 0)
+    )
+    stats = base.select(
+        "o_custkey",
+        "o_orderkey",
+        "y",
+        F.count("*").over(w).cast("long").alias("n"),
+        F.sum("y").over(w).cast("long").alias("s"),
+        F.sum(F.col("y") * F.col("y")).over(w).cast("long").alias("q"),
+    )
+    b = F.col("n") * F.col("q") - F.col("s") * F.col("s")
+    z = (F.col("n") * F.col("y") - F.col("s")) / F.sqrt(
+        b.cast("double") * F.col("n") / (F.col("n") - 1)
+    )
+    return (
+        stats.filter(F.col("n") >= _Z_MIN_N)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.when(b <= 0, F.lit(0.0))
+            .otherwise(F.floor(z * 10000 + F.lit(0.5)) / 10000)
+            .alias("zscore"),
+        )
+    )
+
+
+@register(
+    "transform_minmax_scale",
+    oracle="""
+    WITH base AS (
+        SELECT o_custkey, o_orderkey,
+               CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS y
+        FROM orders
+    ), ranges AS (
+        SELECT o_custkey, o_orderkey, y,
+               min(y) OVER (PARTITION BY o_custkey) AS lo,
+               max(y) OVER (PARTITION BY o_custkey) AS hi
+        FROM base
+    )
+    SELECT o_custkey, o_orderkey,
+           CASE WHEN hi = lo THEN 0.5
+                ELSE floor(CAST(y - lo AS DOUBLE) / (hi - lo) * 1000000
+                           + 0.5) / 1000000 END AS scaled
+    FROM ranges
+    """,
+)
+def transform_minmax_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group min-max feature scaling to [0, 1] (the normalization
+    step before distance-based models), constant-value groups pinned
+    to 0.5 rather than dividing by zero.
+
+    Group extrema come from UNORDERED whole-partition window frames —
+    no orderBy means no sort, just one hash shuffle and a running
+    min/max per group; the scale itself is one exact integer
+    difference over one double division, identical on both engines.
+    The broadcast-back-join alternative (transform_impute_mean's
+    shape) pays the same shuffle plus a join — the window form wins
+    when the fact table is the only input.
+    """
+    o = t(spark, sf_dir, "orders")
+    base = o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("y"),
+    )
+    wp = Window.partitionBy("o_custkey")
+    ranged = base.select(
+        "o_custkey",
+        "o_orderkey",
+        "y",
+        F.min("y").over(wp).alias("lo"),
+        F.max("y").over(wp).alias("hi"),
+    )
+    scaled = (F.col("y") - F.col("lo")).cast("double") / (
+        F.col("hi") - F.col("lo")
+    )
+    return ranged.select(
+        "o_custkey",
+        "o_orderkey",
+        F.when(F.col("hi") == F.col("lo"), F.lit(0.5))
+        .otherwise(F.floor(scaled * 1000000 + F.lit(0.5)) / 1000000)
+        .alias("scaled"),
+    )
+
+
+@register(
+    "fn_row_checksum",
+    oracle="""
+    SELECT o_orderkey,
+           md5(concat_ws(chr(31),
+               CAST(o_orderkey AS VARCHAR),
+               CAST(o_custkey AS VARCHAR),
+               coalesce(o_orderstatus, chr(0)),
+               CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                    AS VARCHAR),
+               CAST(CAST(o_orderdate AS DATE) AS VARCHAR),
+               coalesce(o_orderpriority, chr(0)))) AS row_md5
+    FROM orders
+    """,
+)
+def fn_row_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical whole-row checksum — the content-address that makes
+    table diffs, idempotent upserts, and audit trails O(1) per row
+    (snapshot_diff compares columns; this collapses the row to one
+    comparable key FIRST, which is what you ship across systems).
+
+    Canonicalization rules make the hash engine-independent: every
+    field renders through a FIXED form (integers as decimal strings,
+    money as integer cents — never raw doubles, whose to-string
+    differs between engines — dates as ISO), NULL gets a sentinel
+    distinct from any value, and fields join on the unit-separator
+    control char. Codegen'd projection, shuffle-free.
+    """
+    o = t(spark, sf_dir, "orders")
+    sep = "\x1f"
+    nul = "\x00"
+    parts = [
+        F.col("o_orderkey").cast("string"),
+        F.col("o_custkey").cast("string"),
+        F.coalesce(F.col("o_orderstatus"), F.lit(nul)),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .cast("string"),
+        F.col("o_orderdate").cast("date").cast("string"),
+        F.coalesce(F.col("o_orderpriority"), F.lit(nul)),
+    ]
+    return o.select(
+        "o_orderkey",
+        F.md5(F.concat_ws(sep, *parts)).alias("row_md5"),
+    )
+
+
+@register(
+    "dq_dup_rate",
+    oracle=f"""
+    WITH marked AS (
+        SELECT source,
+               CASE WHEN count(*) OVER (
+                        PARTITION BY substr(text, 1, {_PREFIX_LEN})) > 1
+                    THEN 1 ELSE 0 END AS in_dup
+        FROM documents
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(in_dup) AS BIGINT) AS n_dup_docs,
+           CAST(sum(in_dup) AS BIGINT) * 1000000 // count(*) AS dup_ppm
+    FROM marked GROUP BY source
+    """,
+)
+def dq_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source duplication-rate report: what fraction of each
+    source's documents share a boilerplate prefix with ANY other
+    document — the corpus-health dashboard number that tells you which
+    crawler/feed is flooding the corpus with templates BEFORE you pay
+    for full near-dup dedup on it.
+
+    Two shuffles: one window count over the prefix key (global dup
+    membership — dedup_prefix_cluster's key, reused as a flag), one
+    combinable per-source rollup. The rate is integer ppm — no float
+    anywhere."""
+    d = t(spark, sf_dir, "documents")
+    wpref = Window.partitionBy(F.substring("text", 1, _PREFIX_LEN))
+    marked = d.select(
+        "source",
+        F.when(F.count("*").over(wpref) > 1, 1).otherwise(0).alias("in_dup"),
+    )
+    return marked.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("in_dup").cast("long").alias("n_dup_docs"),
+        F.expr("sum(in_dup) * 1000000 div count(*)").alias("dup_ppm"),
+    )

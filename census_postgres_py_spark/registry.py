@@ -77,6 +77,8 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "transform_bucketize", "agg_zorder_cells", "mm_phash_dedup",
     "join_point_in_time", "join_range_dim", "agg_weighted_percentile",
     "sink_csv_escaped", "pipeline_warehouse_e2e", "agg_count_min_sketch",
+    "win_rolling_zscore", "transform_minmax_scale", "fn_row_checksum",
+    "dq_dup_rate",
 )
 
 

@@ -456,3 +456,70 @@ def test_fk_orphans_single_action_plan(spark, queries):
     plan = executed_plan(df)
     assert plan.count("Union") >= 1
     assert "BroadcastHashJoin" in plan
+
+
+# --- batch 4 ---
+
+
+def test_rolling_zscore_matches_pandas(spark, queries):
+    import numpy as np
+
+    from census_postgres_py_spark.tables import t
+
+    got = queries["win_rolling_zscore"](spark, SF_SMOKE).toPandas()
+    o = (
+        t(spark, SF_SMOKE, "orders")
+        .selectExpr(
+            "o_custkey", "o_orderkey",
+            "cast(floor(o_totalprice * 100 + 0.5) as bigint) as y",
+        )
+        .toPandas()
+        .sort_values(["o_custkey", "o_orderkey"])
+    )
+    exp = []
+    for cust, g in o.groupby("o_custkey"):
+        ys = g["y"].to_numpy()
+        for i in range(len(ys)):
+            w = ys[max(0, i - 29): i + 1]
+            n = len(w)
+            if n < 5:
+                continue
+            s, q = int(w.sum()), int((w.astype(object) ** 2).sum())
+            b = n * q - s * s
+            if b <= 0:
+                z = 0.0
+            else:
+                z = (n * int(ys[i]) - s) / np.sqrt(float(b) * n / (n - 1))
+                z = np.floor(z * 10000 + 0.5) / 10000
+            exp.append((cust, int(g["o_orderkey"].iloc[i]), z))
+    gotrows = sorted(
+        (r["o_custkey"], r["o_orderkey"], r["zscore"])
+        for _, r in got.iterrows()
+    )
+    assert gotrows == sorted(exp)
+
+
+def test_minmax_scale_bounds_and_extrema(spark, queries):
+    df = queries["transform_minmax_scale"](spark, SF_T2).toPandas()
+    assert df["scaled"].between(0.0, 1.0).all()
+    g = df.groupby("o_custkey")["scaled"]
+    # every multi-order customer hits both ends of the range
+    multi = g.count() > 1
+    assert (g.min()[multi] == 0.0).all()
+    assert (g.max()[multi] == 1.0).all()
+
+
+def test_row_checksum_distinct_and_null_safe(spark, queries):
+    df = queries["fn_row_checksum"](spark, SF_T2).toPandas()
+    # content-addressing: all fixture rows are distinct => all hashes are
+    assert df["row_md5"].is_unique
+    assert (df["row_md5"].str.len() == 32).all()
+
+
+def test_dup_rate_consistent_with_prefix_clusters(spark, queries):
+    rep = queries["dq_dup_rate"](spark, SF_T2).toPandas()
+    clusters = queries["dedup_prefix_cluster"](spark, SF_T2).toPandas()
+    # total docs flagged as duplicated == total cluster membership
+    assert int(rep["n_dup_docs"].sum()) == int(clusters["n_docs"].sum())
+    assert (rep["dup_ppm"] <= 1000000).all()
+    assert (rep["n_dup_docs"] <= rep["n_docs"]).all()
