@@ -119,6 +119,7 @@ HEADLINE = [
     "transform_minmax_scale",
     "fn_row_checksum",
     "dq_dup_rate",
+    "stream_sessionize_state",
 ]
 
 

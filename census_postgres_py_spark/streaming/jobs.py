@@ -677,3 +677,112 @@ def stream_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.readStream.format("acs_seqcsv_stream").option("path", path).load()
     )
     return _run_to_memory(stream, "append")
+
+
+@register(
+    "stream_sessionize_state",
+    oracle="""
+    WITH ev AS (
+        SELECT user_id, epoch_ms(ts) AS ts_ms, event_id FROM events
+    ), flagged AS (
+        SELECT user_id, ts_ms, event_id,
+               CASE WHEN ts_ms - lag(ts_ms)
+                        OVER (PARTITION BY user_id
+                              ORDER BY ts_ms, event_id) > 1800000
+                    OR lag(ts_ms) OVER (PARTITION BY user_id
+                                        ORDER BY ts_ms, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS is_start
+        FROM ev
+    ), sessioned AS (
+        SELECT user_id, ts_ms,
+               sum(is_start) OVER (PARTITION BY user_id
+                                   ORDER BY ts_ms, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS session_no
+        FROM flagged
+    )
+    SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+           min(ts_ms) AS start_ms,
+           CAST(count(*) AS BIGINT) AS n_events,
+           max(ts_ms) - min(ts_ms) AS dur_ms
+    FROM sessioned GROUP BY user_id, session_no
+    """,
+)
+def stream_sessionize_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING sessionization via `applyInPandasWithState` — the
+    stateful-stream twin of win_sessionize (same 30-minute gap rule,
+    same output schema, same SQL oracle), proving the batch and
+    streaming tiers agree row for row.
+
+    Events arrive over several micro-batches in arbitrary order; each
+    user's state accumulates (ts_ms, event_id) pairs and every update
+    re-derives the session assignment from the full accumulated
+    history, emitting the CURRENT session rows stamped with an
+    update_seq. The memory sink keeps every update; the final relation
+    takes each user's last update — the recompute-on-update pattern
+    that makes out-of-order arrival a non-event. At 100 TB the state
+    is bounded with an event-time watermark + timeout eviction
+    (sessions older than the watermark close and flush); here the run
+    is finite so the last update IS the closed set.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    src_dir = _scratch(f"sessionize_state_src_{os.path.basename(sf_dir)}")
+    ev = t(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_millis(F.col("ts")).alias("ts_ms"),
+        "event_id",
+    )
+    ev.repartition(4).write.mode("overwrite").parquet(src_dir)
+
+    def update(key, pdfs, state: GroupState):
+        ts_list, id_list = state.get if state.exists else ((), ())
+        ts_list, id_list = list(ts_list), list(id_list)
+        for pdf in pdfs:
+            ts_list.extend(int(x) for x in pdf["ts_ms"])
+            id_list.extend(int(x) for x in pdf["event_id"])
+        state.update((ts_list, id_list))
+        events = sorted(zip(ts_list, id_list))
+        out = []
+        sess_no, start, prev, n = 0, None, None, 0
+        for ts_ms, _eid in events:
+            if prev is None or ts_ms - prev > 1800000:
+                if sess_no:
+                    out.append((sess_no, start, n, prev - start))
+                sess_no += 1
+                start, n = ts_ms, 0
+            n += 1
+            prev = ts_ms
+        if sess_no:
+            out.append((sess_no, start, n, prev - start))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]] * len(out),
+                "session_no": [o[0] for o in out],
+                "start_ms": [o[1] for o in out],
+                "n_events": [o[2] for o in out],
+                "dur_ms": [o[3] for o in out],
+                "update_seq": [len(events)] * len(out),
+            }
+        )
+
+    stream = spark.readStream.schema(ev.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src_dir)
+    updates = stream.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=(
+            "user_id long, session_no long, start_ms long, "
+            "n_events long, dur_ms long, update_seq long"
+        ),
+        stateStructType="ts array<long>, ids array<long>",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    sunk = _run_to_memory(updates, "update")
+    wmax = Window.partitionBy("user_id")
+    return (
+        sunk.withColumn("max_seq", F.max("update_seq").over(wmax))
+        .filter(F.col("update_seq") == F.col("max_seq"))
+        .select("user_id", "session_no", "start_ms", "n_events", "dur_ms")
+    )

@@ -134,3 +134,28 @@ def test_stream_stream_left_outer_flushes_unmatched(spark, queries):
     assert _rowset(stream) == _rowset(batch)
     nulls = [r for r in stream.collect() if r["click_id"] is None]
     assert nulls, "no unmatched views emitted - watermark never flushed"
+
+
+def test_stream_sessionize_state_equals_batch_twin(spark, queries):
+    """The streaming tier and the batch tier must agree row for row:
+    stream_sessionize_state (applyInPandasWithState, recompute on
+    update across micro-batches) vs win_sessionize (lag + running-sum
+    windows) — same gap rule, same output schema."""
+    cols = ["user_id", "session_no", "start_ms", "n_events", "dur_ms"]
+    stream = (
+        queries["stream_sessionize_state"](spark, "/root/testdata/sf0.001")
+        .toPandas()[cols]
+        .sort_values(cols)
+        .reset_index(drop=True)
+    )
+    batch = (
+        queries["win_sessionize"](spark, "/root/testdata/sf0.001")
+        .toPandas()[cols]
+        .sort_values(cols)
+        .reset_index(drop=True)
+    )
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(
+        stream.astype("int64"), batch.astype("int64")
+    )
