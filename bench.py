@@ -120,6 +120,9 @@ HEADLINE = [
     "fn_row_checksum",
     "dq_dup_rate",
     "stream_sessionize_state",
+    "agg_markov_transitions",
+    "win_time_since_last",
+    "agg_overlap_matrix",
 ]
 
 

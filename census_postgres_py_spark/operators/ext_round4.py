@@ -1676,3 +1676,157 @@ def dq_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("in_dup").cast("long").alias("n_dup_docs"),
         F.expr("sum(in_dup) * 1000000 div count(*)").alias("dup_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch 5: behavioral analytics — transition matrix, recency features,
+# audience overlap
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_markov_transitions",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, event_type,
+               lag(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY epoch_ms(ts), event_id)
+                   AS prev_type
+        FROM events
+    ), pairs AS (
+        SELECT prev_type AS from_type, event_type AS to_type,
+               CAST(count(*) AS BIGINT) AS n
+        FROM ordered WHERE prev_type IS NOT NULL
+        GROUP BY 1, 2
+    ), totals AS (
+        SELECT from_type, CAST(sum(n) AS BIGINT) AS row_total FROM pairs
+        GROUP BY from_type
+    )
+    SELECT p.from_type, p.to_type, p.n,
+           p.n * 1000000 // t.row_total AS prob_ppm
+    FROM pairs p JOIN totals t USING (from_type)
+    """,
+)
+def agg_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order behavioral transition matrix: for every consecutive
+    event pair per user (time-ordered, total tiebreak), count
+    from_type -> to_type and express each row's transition probability
+    in integer ppm — the Markov model behind next-action prediction,
+    funnel-leak diagnosis, and bot detection (uniform rows = scripted
+    traffic).
+
+    One window shuffle on user_id for the lag, one combinable count on
+    the (from, to) pair — the |types|² matrix is tiny no matter how
+    large the corpus. Probabilities are integer ppm of EXACT integer
+    counts: no float, engine-identical."""
+    ev = t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.unix_millis(F.col("ts")).alias("ts_ms"),
+        "event_id",
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+    ordered = ev.select(
+        F.lag("event_type").over(w).alias("from_type"),
+        F.col("event_type").alias("to_type"),
+    ).filter(F.col("from_type").isNotNull())
+    pairs = ordered.groupBy("from_type", "to_type").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    return pairs.select(
+        "from_type",
+        "to_type",
+        "n",
+        F.expr("n * 1000000 div sum(n) over (partition by from_type)")
+        .alias("prob_ppm"),
+    )
+
+
+@register(
+    "win_time_since_last",
+    oracle="""
+    WITH ev AS (
+        SELECT event_id, user_id, event_type, epoch_ms(ts) AS ts_ms
+        FROM events
+    )
+    SELECT event_id, user_id, ts_ms,
+           ts_ms - last_value(CASE WHEN event_type = 'purchase'
+                                   THEN ts_ms END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS ms_since_purchase
+    FROM ev
+    """,
+)
+def win_time_since_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency feature: at EVERY event, milliseconds since the user's
+    previous 'purchase' (NULL before the first one) — the
+    time-since-last-X family that powers churn features, cooldown
+    rules, and attribution windows.
+
+    The conditional-carry idiom: a CASE picks only purchase
+    timestamps, `last_value(... IGNORE NULLS)` over the
+    UNBOUNDED-to-1-PRECEDING frame carries the most recent one
+    forward, and a subtraction finishes it. One window pass, one
+    shuffle, O(1) state per row — no self-join against the purchase
+    subset (the naive plan, which shuffles twice and skews on heavy
+    purchasers)."""
+    ev = t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.unix_millis(F.col("ts")).alias("ts_ms"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_ms", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    last_purchase = F.last(
+        F.when(F.col("event_type") == "purchase", F.col("ts_ms")),
+        ignorenulls=True,
+    ).over(w)
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts_ms",
+        (F.col("ts_ms") - last_purchase).alias("ms_since_purchase"),
+    )
+
+
+@register(
+    "agg_overlap_matrix",
+    oracle="""
+    WITH ut AS (
+        SELECT DISTINCT user_id, event_type FROM events
+    )
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           CAST(count(*) AS BIGINT) AS n_both
+    FROM ut a JOIN ut b
+      ON a.user_id = b.user_id AND a.event_type < b.event_type
+    GROUP BY 1, 2
+    """,
+)
+def agg_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience-overlap matrix: for every pair of event types, how
+    many users did BOTH — the co-engagement report behind feature
+    adoption and cross-sell analysis.
+
+    The corpus first collapses to DISTINCT (user, type) — at most
+    |users|·|types| rows — and the pair space comes from an equi-join
+    ON THE USER, so the blow-up per user is bounded by |types|²
+    (25 here), never corpus². Same basket-bounded shape as
+    agg_cooccurrence, applied to behavior."""
+    ut = (
+        t(spark, sf_dir, "events")
+        .select("user_id", "event_type")
+        .distinct()
+    )
+    a = ut.select("user_id", F.col("event_type").alias("type_a"))
+    b = ut.select("user_id", F.col("event_type").alias("type_b"))
+    return (
+        a.join(b, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count("*").cast("long").alias("n_both"))
+    )

@@ -78,7 +78,8 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "join_point_in_time", "join_range_dim", "agg_weighted_percentile",
     "sink_csv_escaped", "pipeline_warehouse_e2e", "agg_count_min_sketch",
     "win_rolling_zscore", "transform_minmax_scale", "fn_row_checksum",
-    "dq_dup_rate", "stream_sessionize_state",
+    "dq_dup_rate", "stream_sessionize_state", "agg_markov_transitions",
+    "win_time_since_last", "agg_overlap_matrix",
 )
 
 

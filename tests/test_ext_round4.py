@@ -523,3 +523,42 @@ def test_dup_rate_consistent_with_prefix_clusters(spark, queries):
     assert int(rep["n_dup_docs"].sum()) == int(clusters["n_docs"].sum())
     assert (rep["dup_ppm"] <= 1000000).all()
     assert (rep["n_dup_docs"] <= rep["n_docs"]).all()
+
+
+# --- batch 5 ---
+
+
+def test_markov_rows_sum_to_one(spark, queries):
+    df = queries["agg_markov_transitions"](spark, SF_T2).toPandas()
+    assert len(df) == 25  # 5 types fully connected in this fixture
+    # each from-row's ppm sums to ~1e6 (integer floor division loses <5)
+    sums = df.groupby("from_type")["prob_ppm"].sum()
+    assert ((1000000 - sums) < 5).all() and (sums <= 1000000).all()
+    # counts conserve: total transitions = total events - active users
+    from census_postgres_py_spark.tables import t
+
+    ev = t(spark, SF_T2, "events")
+    n_events = ev.count()
+    n_users = ev.select("user_id").distinct().count()
+    assert int(df["n"].sum()) == n_events - n_users
+
+
+def test_time_since_last_is_positive_and_null_before_first(spark, queries):
+    df = queries["win_time_since_last"](spark, SF_T2).toPandas()
+    known = df["ms_since_purchase"].dropna()
+    assert (known > 0).all()
+    # every user's earliest event has no prior purchase
+    first = df.loc[df.groupby("user_id")["ts_ms"].idxmin()]
+    assert first["ms_since_purchase"].isna().all()
+
+
+def test_overlap_matrix_bounded_by_user_count(spark, queries):
+    from census_postgres_py_spark.tables import t
+
+    df = queries["agg_overlap_matrix"](spark, SF_T2).toPandas()
+    n_users = (
+        t(spark, SF_T2, "events").select("user_id").distinct().count()
+    )
+    assert (df["n_both"] <= n_users).all()
+    assert (df["type_a"] < df["type_b"]).all()
+    assert len(df) == 10  # C(5,2)
