@@ -123,6 +123,16 @@ HEADLINE = [
     "agg_markov_transitions",
     "win_time_since_last",
     "agg_overlap_matrix",
+    "agg_basket_lift",
+    "dedup_incremental",
+    "emb_quantize_int8",
+    "agg_churn_weekly",
+    "agg_seasonality",
+    "win_period_growth",
+    "dq_skew_report",
+    "text_chunk_stride",
+    "fn_unicode_slug",
+    "emb_pca_power",
 ]
 
 

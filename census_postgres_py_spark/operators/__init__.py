@@ -51,4 +51,5 @@ from census_postgres_py_spark.operators import (  # noqa: F401
     aggregates,
     dedup,
     ext_round4,
+    ext_round4b,
 )

@@ -97,6 +97,11 @@ SURVEY_IDS = {
     "win_rolling_zscore", "transform_minmax_scale", "fn_row_checksum",
     "dq_dup_rate", "stream_sessionize_state", "agg_markov_transitions",
     "win_time_since_last", "agg_overlap_matrix",
+    # §2.16 round-4b extensions
+    "agg_basket_lift", "dedup_incremental", "emb_quantize_int8",
+    "agg_churn_weekly", "agg_seasonality", "win_period_growth",
+    "dq_skew_report", "text_chunk_stride", "fn_unicode_slug",
+    "emb_pca_power",
 }
 
 
