@@ -133,6 +133,11 @@ HEADLINE = [
     "text_chunk_stride",
     "fn_unicode_slug",
     "emb_pca_power",
+    "transform_ffill",
+    "agg_cohort_ltv",
+    "emb_silhouette_approx",
+    "agg_funnel_bounded",
+    "agg_rfm_segments",
 ]
 
 

@@ -52,4 +52,5 @@ from census_postgres_py_spark.operators import (  # noqa: F401
     dedup,
     ext_round4,
     ext_round4b,
+    ext_round4c,
 )

@@ -102,6 +102,9 @@ SURVEY_IDS = {
     "agg_churn_weekly", "agg_seasonality", "win_period_growth",
     "dq_skew_report", "text_chunk_stride", "fn_unicode_slug",
     "emb_pca_power",
+    # §2.17 round-4c extensions
+    "transform_ffill", "agg_cohort_ltv", "emb_silhouette_approx",
+    "agg_funnel_bounded", "agg_rfm_segments",
 }
 
 
