@@ -138,6 +138,10 @@ HEADLINE = [
     "emb_silhouette_approx",
     "agg_funnel_bounded",
     "agg_rfm_segments",
+    "agg_benford",
+    "agg_pareto_share",
+    "agg_new_vs_returning",
+    "ts_forecast_naive",
 ]
 
 

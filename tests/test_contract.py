@@ -105,6 +105,9 @@ SURVEY_IDS = {
     # §2.17 round-4c extensions
     "transform_ffill", "agg_cohort_ltv", "emb_silhouette_approx",
     "agg_funnel_bounded", "agg_rfm_segments",
+    # §2.18 round-4d extensions
+    "agg_benford", "agg_pareto_share", "agg_new_vs_returning",
+    "ts_forecast_naive",
 }
 
 
