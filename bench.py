@@ -142,6 +142,9 @@ HEADLINE = [
     "agg_pareto_share",
     "agg_new_vs_returning",
     "ts_forecast_naive",
+    "agg_state_merge",
+    "win_peak_detection",
+    "agg_interpurchase_gap",
 ]
 
 

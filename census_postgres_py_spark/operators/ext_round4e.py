@@ -1,0 +1,216 @@
+"""Round-4e extension operators (SURVEY.md §2.19).
+
+Final round-4 widening pass — incremental-warehouse and ops-signal
+reads: mergeable partial-aggregate state (the pattern that makes a
+warehouse incremental instead of recompute-the-world), local-peak
+detection over the daily activity series, and the inter-purchase-gap
+read behind replenishment/repurchase models.
+
+Contract discipline identical to the other extension modules.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from census_postgres_py_spark.registry import register
+from census_postgres_py_spark.tables import t
+
+
+def _cents(c):
+    return F.floor(c * 100 + F.lit(0.5)).cast("long")
+
+
+# ---------------------------------------------------------------------------
+# agg_state_merge — mergeable partial-aggregate state
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_state_merge",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS sum_cents,
+           CAST(min(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS min_cents,
+           CAST(max(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS max_cents
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def agg_state_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable partial-aggregate state: the orders fact is split into
+    two "ingest batches" (orderdate before/after 1998-01-01), each
+    batch is reduced to a per-key STATE frame (count, sum, min, max —
+    all associative+commutative), and the states are merged and
+    finalized WITHOUT touching the raw rows again. This is the
+    incremental-warehouse pattern: yesterday's state + today's batch =
+    today's report, O(|batch|) not O(|history|).
+
+    The oracle is the direct one-shot aggregate over all rows — the
+    merge is correct iff it reproduces it exactly, which the
+    all-integer accumulators guarantee at any partition/merge order.
+    Scale shape: both branch aggregations are combinable, the state
+    frames are |keys| rows, and the merge shuffles only states.
+    """
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        "o_orderdate",
+        _cents(F.col("o_totalprice")).alias("cents"),
+    )
+    split = F.lit("1998-01-01").cast("timestamp")
+
+    def state(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_orderpriority").agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.sum("cents").cast("long").alias("sum_cents"),
+            F.min("cents").cast("long").alias("min_cents"),
+            F.max("cents").cast("long").alias("max_cents"),
+        )
+
+    s1 = state(orders.filter(F.col("o_orderdate") < split))
+    s2 = state(orders.filter(F.col("o_orderdate") >= split))
+    return (
+        s1.unionByName(s2)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum("n_orders").cast("long").alias("n_orders"),
+            F.sum("sum_cents").cast("long").alias("sum_cents"),
+            F.min("min_cents").cast("long").alias("min_cents"),
+            F.max("max_cents").cast("long").alias("max_cents"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# win_peak_detection — local maxima in the daily series
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "win_peak_detection",
+    oracle="""
+    WITH daily AS (
+        SELECT date_trunc('day', ts) AS d, CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1
+    ), nbr AS (
+        SELECT d, n,
+               lag(n)  OVER (ORDER BY d) AS prv,
+               lead(n) OVER (ORDER BY d) AS nxt
+        FROM daily
+    )
+    SELECT epoch_ms(CAST(d AS TIMESTAMP)) AS day_ms, n AS n_events,
+           prv AS prev_events, nxt AS next_events
+    FROM nbr
+    WHERE prv IS NOT NULL AND nxt IS NOT NULL
+      AND n > prv AND n > nxt
+    """,
+)
+def win_peak_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local-peak detection over the daily event-count series: days
+    whose count strictly exceeds both neighbors — the ops-alerting
+    primitive behind "traffic spiked on the 14th" annotations.
+
+    The raw log collapses to O(calendar) daily rows first (combinable
+    count, one shuffle); lag/lead then run over that aggregated frame
+    — the same "reduce before you window" shape as win_period_growth,
+    so the unpartitioned window is a non-issue. Series endpoints are
+    excluded (a boundary day has only one neighbor — calling it a peak
+    would be unfalsifiable). Strict integer comparisons; plateaus are
+    not peaks on either engine.
+    """
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_trunc("day", "ts").alias("d")).agg(
+        F.count("*").cast("long").alias("n")
+    )
+    w = Window.orderBy("d")
+    nbr = daily.select(
+        "d",
+        "n",
+        F.lag("n").over(w).alias("prv"),
+        F.lead("n").over(w).alias("nxt"),
+    )
+    return nbr.filter(
+        F.col("prv").isNotNull()
+        & F.col("nxt").isNotNull()
+        & (F.col("n") > F.col("prv"))
+        & (F.col("n") > F.col("nxt"))
+    ).select(
+        F.unix_millis("d").alias("day_ms"),
+        F.col("n").alias("n_events"),
+        F.col("prv").alias("prev_events"),
+        F.col("nxt").alias("next_events"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# agg_interpurchase_gap — repurchase-interval analysis
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_interpurchase_gap",
+    oracle="""
+    WITH gaps AS (
+        SELECT o_custkey,
+               date_diff('day',
+                   lag(o_orderdate) OVER (PARTITION BY o_custkey
+                       ORDER BY o_orderdate, o_orderkey),
+                   o_orderdate) AS gap_days
+        FROM orders
+    ), cg AS (
+        SELECT o_custkey, gap_days FROM gaps WHERE gap_days IS NOT NULL
+    ), seg AS (
+        SELECT c.c_mktsegment, cg.gap_days
+        FROM cg JOIN customer c ON cg.o_custkey = c.c_custkey
+    )
+    SELECT c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_gaps,
+           CAST(floor(CAST(sum(gap_days) AS DOUBLE) * 1000 / count(*)
+                + 0.5) AS BIGINT) AS avg_gap_millidays,
+           CAST(min(gap_days) AS BIGINT) AS min_gap_days,
+           CAST(max(gap_days) AS BIGINT) AS max_gap_days
+    FROM seg
+    GROUP BY c_mktsegment
+    """,
+)
+def agg_interpurchase_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-purchase gap analysis: days between a customer's
+    consecutive orders, rolled up per market segment (count, mean in
+    exact milli-days, min, max) — the input to every replenishment /
+    repurchase-propensity model.
+
+    Scale shape: the lag window partitions by customer (many small
+    frames, one shuffle on custkey, total (orderdate, orderkey)
+    tiebreak order); the segment join reuses the custkey partitioning
+    against the customer dim (co-partitioned at scale — customer is
+    NOT broadcast-sized at 100 TB); the rollup is combinable with an
+    integer day-sum, so the mean is an exact rational rendered in
+    milli-days.
+    """
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = orders.select(
+        "o_custkey",
+        F.datediff("o_orderdate", F.lag("o_orderdate").over(w)).alias(
+            "gap_days"
+        ),
+    ).filter(F.col("gap_days").isNotNull())
+    seg = gaps.join(cust, gaps.o_custkey == cust.c_custkey)
+    return seg.groupBy("c_mktsegment").agg(
+        F.count("*").cast("long").alias("n_gaps"),
+        F.floor(
+            F.sum("gap_days").cast("double") * F.lit(1000) / F.count("*")
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("avg_gap_millidays"),
+        F.min("gap_days").cast("long").alias("min_gap_days"),
+        F.max("gap_days").cast("long").alias("max_gap_days"),
+    )

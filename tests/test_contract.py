@@ -108,6 +108,8 @@ SURVEY_IDS = {
     # §2.18 round-4d extensions
     "agg_benford", "agg_pareto_share", "agg_new_vs_returning",
     "ts_forecast_naive",
+    # §2.19 round-4e extensions
+    "agg_state_merge", "win_peak_detection", "agg_interpurchase_gap",
 }
 
 
