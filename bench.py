@@ -145,6 +145,8 @@ HEADLINE = [
     "agg_state_merge",
     "win_peak_detection",
     "agg_interpurchase_gap",
+    "text_pack_sequences",
+    "stream_windowed_topk",
 ]
 
 

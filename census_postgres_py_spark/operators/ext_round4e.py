@@ -214,3 +214,70 @@ def agg_interpurchase_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("gap_days").cast("long").alias("min_gap_days"),
         F.max("gap_days").cast("long").alias("max_gap_days"),
     )
+
+
+# ---------------------------------------------------------------------------
+# text_pack_sequences — pretraining sequence packing (concat-and-chunk)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_pack_sequences",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id, source,
+               CAST(len(list_filter(string_split(text, ' '),
+                    x -> x <> '')) AS BIGINT) AS n_tokens
+        FROM documents
+    ), packed AS (
+        SELECT doc_id, source, n_tokens,
+               CAST(coalesce(sum(n_tokens) OVER (PARTITION BY source
+                    ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    AS BIGINT) AS cum_before
+        FROM d
+    )
+    SELECT doc_id, source, n_tokens,
+           CAST(cum_before // 512 AS BIGINT) AS bin_id,
+           CAST(cum_before % 512 AS BIGINT) AS offset_in_bin
+    FROM packed
+    """,
+)
+def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (the pretraining "concat-and-chunk" step):
+    documents are laid end-to-end per source in deterministic doc_id
+    order, and each doc gets the 512-token training-bin id and offset
+    where it starts — documents straddle bin boundaries exactly as
+    the concat-then-chunk tokenizer pipeline does. The (bin_id,
+    offset) assignment is what a batch-collation job shards on.
+
+    One running-sum window per source (a single shuffle; frames are
+    per-source, never global). All-integer arithmetic — the packing is
+    reproducible at any executor count, which is the property that
+    makes distributed tokenization restartable. At 100 TB the
+    partition key becomes (source, date-shard) to bound frame length;
+    the assignment arithmetic is unchanged.
+    """
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "source",
+        F.size(F.filter(F.split("text", " "), lambda x: x != ""))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    packed = toks.withColumn(
+        "cum_before", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("long")
+    )
+    return packed.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        F.floor(F.col("cum_before") / 512).cast("long").alias("bin_id"),
+        (F.col("cum_before") % 512).cast("long").alias("offset_in_bin"),
+    )

@@ -110,6 +110,7 @@ SURVEY_IDS = {
     "ts_forecast_naive",
     # §2.19 round-4e extensions
     "agg_state_merge", "win_peak_detection", "agg_interpurchase_gap",
+    "text_pack_sequences", "stream_windowed_topk",
 }
 
 

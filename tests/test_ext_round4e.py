@@ -105,3 +105,58 @@ def test_interpurchase_gap_recompute(spark, queries):
 def test_state_merge_no_raw_rescan_joins(spark, queries):
     plan = executed_plan(queries["agg_state_merge"](spark, SF_SMOKE))
     assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_pack_sequences_contiguous_fill(spark, queries):
+    df = (
+        queries["text_pack_sequences"](spark, SF_T2)
+        .toPandas()
+        .sort_values(["source", "doc_id"])
+    )
+    for _, grp in df.groupby("source"):
+        cum = 0
+        for _, r in grp.iterrows():
+            assert r["bin_id"] == cum // 512
+            assert r["offset_in_bin"] == cum % 512
+            cum += r["n_tokens"]
+        # a doc's bin_id is where it STARTS — it can extend past it,
+        # so the max start-bin never exceeds the total-token bin span
+        if cum:
+            assert grp["bin_id"].max() <= (cum - 1) // 512
+
+
+def test_pack_sequences_single_shuffle(spark, queries):
+    plan = executed_plan(queries["text_pack_sequences"](spark, SF_SMOKE))
+    assert plan.count("Exchange") <= 2  # one hash partition + AQE read
+
+
+def test_stream_windowed_topk_matches_batch_rank(spark, queries):
+    from census_postgres_py_spark.tables import t
+
+    got = (
+        queries["stream_windowed_topk"](spark, SF_T2)
+        .toPandas()
+        .sort_values(["hour_ms", "rn"])
+        .reset_index(drop=True)
+    )
+    assert (got["rn"].between(1, 3)).all()
+    # per window: counts non-increasing with rn, ties broken by type
+    for _, grp in got.groupby("hour_ms"):
+        ns = grp.sort_values("rn")["n"].to_numpy()
+        assert (ns[:-1] >= ns[1:]).all()
+    # spot-check one window against a batch recount
+    hr = int(got["hour_ms"].iloc[0])
+    ev = t(spark, SF_T2, "events")
+    from pyspark.sql import functions as F
+
+    batch = (
+        ev.filter(
+            (F.unix_millis("ts") >= hr) & (F.unix_millis("ts") < hr + 3600000)
+        )
+        .groupBy("event_type")
+        .count()
+        .toPandas()
+        .sort_values(["count", "event_type"], ascending=[False, True])
+    )
+    top = got[got["hour_ms"] == hr].sort_values("rn")
+    assert list(top["event_type"]) == list(batch["event_type"].head(len(top)))
