@@ -147,6 +147,9 @@ HEADLINE = [
     "agg_interpurchase_gap",
     "text_pack_sequences",
     "stream_windowed_topk",
+    "agg_chisq_independence",
+    "text_vocab_growth",
+    "agg_survival_curve",
 ]
 
 

@@ -111,6 +111,8 @@ SURVEY_IDS = {
     # §2.19 round-4e extensions
     "agg_state_merge", "win_peak_detection", "agg_interpurchase_gap",
     "text_pack_sequences", "stream_windowed_topk",
+    # §2.20 round-4f extensions
+    "agg_chisq_independence", "text_vocab_growth", "agg_survival_curve",
 }
 
 
