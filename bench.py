@@ -150,6 +150,9 @@ HEADLINE = [
     "agg_chisq_independence",
     "text_vocab_growth",
     "agg_survival_curve",
+    "join_mutual_topk",
+    "win_drawdown",
+    "transform_robust_scale",
 ]
 
 

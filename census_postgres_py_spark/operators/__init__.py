@@ -56,4 +56,5 @@ from census_postgres_py_spark.operators import (  # noqa: F401
     ext_round4d,
     ext_round4e,
     ext_round4f,
+    ext_round4g,
 )

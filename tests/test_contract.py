@@ -113,6 +113,8 @@ SURVEY_IDS = {
     "text_pack_sequences", "stream_windowed_topk",
     # §2.20 round-4f extensions
     "agg_chisq_independence", "text_vocab_growth", "agg_survival_curve",
+    # §2.21 round-4g extensions
+    "join_mutual_topk", "win_drawdown", "transform_robust_scale",
 }
 
 
