@@ -63,20 +63,76 @@ def join_mutual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     resolution uses to accept a match without a threshold, and the
     strongest near-duplicate signal an embedding space offers.
 
-    The fixture-sized corpus scores all ordered pairs (JVM zip_with
-    cosine, no Python); per-vector best is a WindowGroupLimit on the
-    ROUNDED cosine with id tiebreak; the reciprocity check is then a
-    self equi-join of the |n|-row top-1 table on the reversed key —
-    tiny. At 100 TB the all-pairs stage is replaced by LSH/IVF
-    candidate generation (`join_similarity_ann`/`_ivf`) feeding the
-    SAME top-1 + reciprocity tail; the mutual filter is
+    Candidates-first, reusing `dedup_embedding_cosine`'s block-pair
+    tiling (a naive zip_with over all n² ordered pairs measured 122 s
+    at sf0.1 — BLAS tiles run it in ~2 s): rows shuffle once into
+    B(B+1)/2 bounded-memory tiles, one matmul per tile emits each
+    row's within-tile best matches with a 1e-3 slack band (the global
+    argmax of a row is always some tile's row-max, so candidate recall
+    is total; the slack additionally covers accumulation-order ULPs
+    and the 1e-6 ranking granularity — it can only over-select).
+    Candidates are then re-scored EXACTLY with the JVM zip_with fold
+    (bit-identical to DuckDB's sequential fold), best-per-vector is a
+    WindowGroupLimit on the ROUNDED cosine with id tiebreak, and
+    reciprocity is a self equi-join of the |n|-row top-1 table on the
+    reversed key. At 100 TB the tile stage swaps for LSH/IVF candidate
+    generation (`join_similarity_ann`/`_ivf`) feeding the SAME
+    rescore + top-1 + reciprocity tail — the mutual filter is
     candidate-source-agnostic.
     """
+    import numpy as np
+    import pandas as pd
+
     e = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    n = e.count()
+    # larger tiles than dedup_embedding_cosine: top-1 extraction is one
+    # argmax per row, so per-tile overhead (Arrow + task setup)
+    # dominates long before tile memory does
+    block_rows = 512 if n <= 16384 else 4096
+    n_blocks = max(1, -(-n // block_rows))
+
+    def tile_best(pdf: pd.DataFrame) -> pd.DataFrame:
+        i, j = int(pdf["i"].iat[0]), int(pdf["j"].iat[0])
+        left = pdf[pdf["b"] == i]
+        right = pdf[pdf["b"] == j] if i != j else left
+        if not len(left) or not len(right):
+            return pd.DataFrame({"va": [], "vb": []}).astype("int64")
+        l_ids = left["vec_id"].to_numpy(np.int64)
+        r_ids = right["vec_id"].to_numpy(np.int64)
+        l_mat = np.stack(left["embedding"].to_numpy()).astype(np.float64)
+        r_mat = np.stack(right["embedding"].to_numpy()).astype(np.float64)
+        l_mat /= np.linalg.norm(l_mat, axis=1, keepdims=True)
+        r_mat /= np.linalg.norm(r_mat, axis=1, keepdims=True)
+        sims = l_mat @ r_mat.T
+        if i == j:
+            np.fill_diagonal(sims, -2.0)
+        out_a, out_b = [], []
+        # every row's near-max band, from BOTH sides of the tile
+        keep_l = sims >= (sims.max(axis=1, keepdims=True) - 1e-3)
+        li, ri = np.nonzero(keep_l)
+        out_a.append(l_ids[li]); out_b.append(r_ids[ri])
+        keep_r = sims >= (sims.max(axis=0, keepdims=True) - 1e-3)
+        li, ri = np.nonzero(keep_r)
+        out_a.append(r_ids[ri]); out_b.append(l_ids[li])
+        return pd.DataFrame(
+            {"va": np.concatenate(out_a), "vb": np.concatenate(out_b)}
+        ).drop_duplicates()
+
+    tiled = (
+        e.withColumn("b", (F.col("vec_id") % n_blocks).cast("int"))
+        .withColumn("k", F.explode(F.sequence(F.lit(0), F.lit(n_blocks - 1))))
+        .withColumn("i", F.least("b", "k"))
+        .withColumn("j", F.greatest("b", "k"))
+    )
+    cand = tiled.groupBy("i", "j").applyInPandas(tile_best, "va long, vb long")
+
     a = e.select(F.col("vec_id").alias("va"), F.col("embedding").alias("ea"))
     b = e.select(F.col("vec_id").alias("vb"), F.col("embedding").alias("eb"))
-    pairs = a.join(b, F.col("va") != F.col("vb")).select(
-        "va", "vb", _r6(cosine(F.col("ea"), F.col("eb"))).alias("cos_r")
+    pairs = (
+        F.broadcast(cand)
+        .join(a, "va")
+        .join(b, "vb")
+        .select("va", "vb", _r6(cosine(F.col("ea"), F.col("eb"))).alias("cos_r"))
     )
     w = Window.partitionBy("va").orderBy(F.col("cos_r").desc(), "vb")
     top1 = (
