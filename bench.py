@@ -153,6 +153,9 @@ HEADLINE = [
     "join_mutual_topk",
     "win_drawdown",
     "transform_robust_scale",
+    "fn_fiscal_445",
+    "ts_decompose_daily",
+    "sink_dynamic_partition_overwrite",
 ]
 
 

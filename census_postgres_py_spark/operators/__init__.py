@@ -57,4 +57,5 @@ from census_postgres_py_spark.operators import (  # noqa: F401
     ext_round4e,
     ext_round4f,
     ext_round4g,
+    ext_round4h,
 )

@@ -115,6 +115,9 @@ SURVEY_IDS = {
     "agg_chisq_independence", "text_vocab_growth", "agg_survival_curve",
     # §2.21 round-4g extensions
     "join_mutual_topk", "win_drawdown", "transform_robust_scale",
+    # §2.22 round-4h extensions
+    "fn_fiscal_445", "ts_decompose_daily",
+    "sink_dynamic_partition_overwrite",
 }
 
 
