@@ -156,6 +156,9 @@ HEADLINE = [
     "fn_fiscal_445",
     "ts_decompose_daily",
     "sink_dynamic_partition_overwrite",
+    "dedup_record_linkage",
+    "text_js_divergence",
+    "scan_file_metadata",
 ]
 
 

@@ -58,4 +58,5 @@ from census_postgres_py_spark.operators import (  # noqa: F401
     ext_round4f,
     ext_round4g,
     ext_round4h,
+    ext_round4i,
 )

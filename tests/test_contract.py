@@ -118,6 +118,8 @@ SURVEY_IDS = {
     # §2.22 round-4h extensions
     "fn_fiscal_445", "ts_decompose_daily",
     "sink_dynamic_partition_overwrite",
+    # §2.23 round-4i extensions
+    "dedup_record_linkage", "text_js_divergence", "scan_file_metadata",
 }
 
 
