@@ -159,6 +159,9 @@ HEADLINE = [
     "dedup_record_linkage",
     "text_js_divergence",
     "scan_file_metadata",
+    "join_bridge_allocation",
+    "agg_path_signatures",
+    "transform_mask_deterministic",
 ]
 
 

@@ -120,6 +120,9 @@ SURVEY_IDS = {
     "sink_dynamic_partition_overwrite",
     # §2.23 round-4i extensions
     "dedup_record_linkage", "text_js_divergence", "scan_file_metadata",
+    # §2.24 round-4j extensions
+    "join_bridge_allocation", "agg_path_signatures",
+    "transform_mask_deterministic",
 }
 
 
