@@ -162,6 +162,9 @@ HEADLINE = [
     "join_bridge_allocation",
     "agg_path_signatures",
     "transform_mask_deterministic",
+    "transform_target_encode_loo",
+    "win_rank_delta",
+    "dedup_source_mirror",
 ]
 
 

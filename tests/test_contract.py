@@ -123,6 +123,9 @@ SURVEY_IDS = {
     # §2.24 round-4j extensions
     "join_bridge_allocation", "agg_path_signatures",
     "transform_mask_deterministic",
+    # §2.25 round-4k extensions
+    "transform_target_encode_loo", "win_rank_delta",
+    "dedup_source_mirror",
 }
 
 
