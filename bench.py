@@ -165,6 +165,8 @@ HEADLINE = [
     "transform_target_encode_loo",
     "win_rank_delta",
     "dedup_source_mirror",
+    "dq_sequence_gaps",
+    "agg_order_aging",
 ]
 
 

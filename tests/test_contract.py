@@ -126,6 +126,8 @@ SURVEY_IDS = {
     # §2.25 round-4k extensions
     "transform_target_encode_loo", "win_rank_delta",
     "dedup_source_mirror",
+    # §2.26 round-4l extensions
+    "dq_sequence_gaps", "agg_order_aging",
 }
 
 
