@@ -62,7 +62,8 @@ def _half_up_ppm(num, den):
     )
     SELECT brand_a, brand_b, pair_orders,
            CAST(floor(CAST(pair_orders AS DOUBLE) * n.n_orders * 1000000
-                      / (sa.cnt * sb.cnt) + 0.5) AS BIGINT) AS lift_ppm,
+                      / (CAST(sa.cnt AS DOUBLE) * sb.cnt) + 0.5)
+                AS BIGINT) AS lift_ppm,
            CAST(floor(CAST(pair_orders AS DOUBLE) * 1000000 / n.n_orders
                       + 0.5) AS BIGINT) AS support_ppm
     FROM pairs
@@ -104,11 +105,14 @@ def agg_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").cast("long").alias("pair_orders"))
     )
+    # ca is widened to double BEFORE the product: a long*long margin
+    # product would wrap at ~3e9-order counts; the double path is
+    # exact to 2^53 and mirrored verbatim in the oracle
     lift = F.floor(
         F.col("pair_orders").cast("double")
         * F.col("n_orders")
         * F.lit(1000000)
-        / (F.col("ca") * F.col("cb"))
+        / (F.col("ca").cast("double") * F.col("cb"))
         + F.lit(0.5)
     ).cast("long")
     support = F.floor(
