@@ -52,3 +52,20 @@ def test_order_aging_covers_all_open_orders(spark, queries):
     for _, r in df.iterrows():
         assert r["age_band"] == f"{r['bucket'] * 30}-{r['bucket'] * 30 + 29}d"
     assert (df["value_cents"] > 0).all()
+
+
+def test_sequence_gaps_invariant_to_bucket_width(spark, queries, monkeypatch):
+    import census_postgres_py_spark.operators.ext_round4l as m
+
+    base = sorted(
+        (r["gap_start"], r["gap_end"], r["n_missing"])
+        for r in queries["dq_sequence_gaps"](spark, SF_T2).collect()
+    )
+    # the two-level intra ∪ junction decomposition is exact for ANY
+    # bucket width — rerun with a radically different one
+    monkeypatch.setattr(m, "_BUCKET", 37)
+    alt = sorted(
+        (r["gap_start"], r["gap_end"], r["n_missing"])
+        for r in m.dq_sequence_gaps(spark, SF_T2).collect()
+    )
+    assert base == alt
