@@ -62,4 +62,5 @@ from census_postgres_py_spark.operators import (  # noqa: F401
     ext_round4j,
     ext_round4k,
     ext_round4l,
+    ext_round4m,
 )
