@@ -167,6 +167,12 @@ HEADLINE = [
     "dedup_source_mirror",
     "dq_sequence_gaps",
     "agg_order_aging",
+    "ts_autocorr",
+    "ts_cusum_changepoint",
+    "win_vwap",
+    "hier_flatten",
+    "graph_triangle_count",
+    "graph_degree_hist",
 ]
 
 

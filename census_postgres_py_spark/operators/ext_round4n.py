@@ -1,0 +1,246 @@
+"""Round-4n extension operators (SURVEY.md §2.28).
+
+Graph-shaped reads over relational data: recursive hierarchy
+flattening (the WITH RECURSIVE workload — org charts, BOM explosions,
+account rollups — expressed as Spark's bounded iterative join),
+triangle counting on the co-purchase graph (the clustering-coefficient
+numerator behind community detection), and the degree histogram (the
+first diagnostic anyone runs on a graph before choosing partitioning).
+
+Contract discipline identical to the other extension modules. The
+hierarchy here is derived deterministically from data (parent(c) =
+c div 10 over custkey), so both engines build the identical DAG with
+no fixture changes.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from census_postgres_py_spark.registry import register
+from census_postgres_py_spark.tables import t
+
+# Fixture custkeys are dense from 1, so div-10 parents always exist and
+# depth is bounded by log10(max key): 19 levels covers the full int64
+# key space — a CONSTANT unroll bound, not a data-dependent loop.
+_MAX_DEPTH = 19
+
+
+def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """child→parent edges of the derived customer hierarchy."""
+    return (
+        t(spark, sf_dir, "customer")
+        .select(
+            F.col("c_custkey").alias("child"),
+            F.expr("c_custkey div 10").cast("long").alias("parent"),
+        )
+        .filter(F.col("parent") >= 1)
+    )
+
+
+@register(
+    "hier_flatten",
+    oracle="""
+    WITH RECURSIVE edges AS (
+        SELECT c_custkey AS child,
+               CAST(c_custkey // 10 AS BIGINT) AS parent
+        FROM customer WHERE c_custkey // 10 >= 1
+    ), cl AS (
+        SELECT parent AS anc, child AS des, 1 AS depth FROM edges
+        UNION ALL
+        SELECT e.parent, cl.des, cl.depth + 1
+        FROM cl JOIN edges e ON cl.anc = e.child
+    )
+    SELECT anc, des, CAST(depth AS INTEGER) AS depth FROM cl
+    """,
+)
+def hier_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive closure of the customer hierarchy — every
+    (ancestor, descendant, depth) pair, the flattened bridge table a
+    warehouse builds from any WITH RECURSIVE hierarchy (org rollups,
+    BOM explosion, account trees).
+
+    Spark has no recursive CTE; the closure is the standard bounded
+    iterative join — each pass extends every path by one parent hop,
+    so pass k yields exactly the depth-(k+1) paths and the loop ends
+    the first time a frontier is empty (≤19 passes for ANY int64 key
+    space — the unroll bound is log10 of the key domain, not data
+    size). Each hop is an equi-join on the hop key: at 100 TB that's
+    a hash-partitioned shuffle per level, with the frontier shrinking
+    ~10× per hop, and AQE re-sizes each round's partitions. No
+    driver-side data movement — only an `isEmpty` probe per level.
+    """
+    edges = _edges(spark, sf_dir)
+    up = edges.select(
+        F.col("child").alias("hop"), F.col("parent").alias("up_parent")
+    )
+    levels = [
+        edges.select(
+            F.col("parent").alias("anc"),
+            F.col("child").alias("des"),
+            F.lit(1).cast("int").alias("depth"),
+        )
+    ]
+    frontier = levels[0]
+    for _ in range(_MAX_DEPTH - 1):
+        frontier = (
+            frontier.join(up, frontier["anc"] == up["hop"])
+            .select(
+                F.col("up_parent").alias("anc"),
+                "des",
+                (F.col("depth") + 1).cast("int").alias("depth"),
+            )
+        )
+        if frontier.isEmpty():
+            break
+        levels.append(frontier)
+    return reduce(DataFrame.unionAll, levels)
+
+
+def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct undirected co-purchase edges, oriented a < b."""
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.alias("a")
+    b = li.alias("b")
+    return (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("pa"),
+            F.col("b.l_partkey").alias("pb"),
+        )
+        .distinct()
+    )
+
+
+_EDGES_SQL = """
+        SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+        FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+        WHERE a.l_partkey < b.l_partkey
+"""
+
+
+@register(
+    "graph_triangle_count",
+    oracle=f"""
+    WITH edges AS (
+        {_EDGES_SQL}
+    ), tri AS (
+        SELECT e1.pa AS x, e1.pb AS y, e2.pb AS z
+        FROM edges e1
+        JOIN edges e2 ON e2.pa = e1.pb
+        JOIN edges e3 ON e3.pa = e1.pa AND e3.pb = e2.pb
+    ), per_node AS (
+        SELECT x AS part, count(*) AS c FROM tri GROUP BY x
+        UNION ALL
+        SELECT y, count(*) FROM tri GROUP BY y
+        UNION ALL
+        SELECT z, count(*) FROM tri GROUP BY z
+    )
+    SELECT part AS l_partkey, CAST(sum(c) AS BIGINT) AS n_triangles
+    FROM per_node GROUP BY part
+    """,
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-part triangle participation in the co-purchase graph —
+    the numerator of local clustering coefficient, the standard
+    "how clique-ish is this node's neighborhood" community signal.
+
+    Edges are oriented low→high partkey, so each triangle
+    (x < y < z) is enumerated exactly once by the classic two-join
+    wedge-close plan: E⋈E on the middle vertex builds wedges, the
+    second join closes them against E. Both joins are key-partitioned
+    hash joins (shuffle on one vertex), which is the MapReduce
+    triangle algorithm that scales to billions of edges; orientation
+    bounds wedge fan-out by out-degree, the standard skew guard. The
+    per-node rollup unions the three corner roles then combines —
+    all exact integers.
+    """
+    edges = _copurchase_edges(spark, sf_dir)
+    e1 = edges.alias("e1")
+    e2 = edges.alias("e2")
+    e3 = edges.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e2.pa") == F.col("e1.pb"))
+        .join(
+            e3,
+            (F.col("e3.pa") == F.col("e1.pa"))
+            & (F.col("e3.pb") == F.col("e2.pb")),
+        )
+        .select(
+            F.col("e1.pa").alias("x"),
+            F.col("e1.pb").alias("y"),
+            F.col("e2.pb").alias("z"),
+        )
+    )
+    per_node = (
+        tri.groupBy(F.col("x").alias("part")).agg(F.count("*").alias("c"))
+        .unionAll(
+            tri.groupBy(F.col("y").alias("part")).agg(
+                F.count("*").alias("c")
+            )
+        )
+        .unionAll(
+            tri.groupBy(F.col("z").alias("part")).agg(
+                F.count("*").alias("c")
+            )
+        )
+    )
+    return per_node.groupBy(F.col("part").alias("l_partkey")).agg(
+        F.sum("c").cast("long").alias("n_triangles")
+    )
+
+
+@register(
+    "graph_degree_hist",
+    oracle=f"""
+    WITH edges AS (
+        {_EDGES_SQL}
+    ), deg AS (
+        SELECT part, CAST(sum(c) AS BIGINT) AS degree FROM (
+            SELECT pa AS part, count(*) AS c FROM edges GROUP BY pa
+            UNION ALL
+            SELECT pb, count(*) FROM edges GROUP BY pb
+        ) GROUP BY part
+    )
+    SELECT CAST(degree // 16 AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_nodes,
+           CAST(min(degree) AS BIGINT) AS min_degree,
+           CAST(max(degree) AS BIGINT) AS max_degree
+    FROM deg GROUP BY 1
+    """,
+)
+def graph_degree_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree histogram of the co-purchase graph (16-wide buckets) —
+    the first skew diagnostic before graph work: a heavy tail here is
+    what forces salting / orientation in the triangle pass.
+
+    Degree = edge-endpoint count per node, computed as two combinable
+    per-endpoint aggregations unioned then summed (never a collect);
+    the histogram is a second tiny combinable pass. All integers.
+    """
+    edges = _copurchase_edges(spark, sf_dir)
+    deg = (
+        edges.groupBy(F.col("pa").alias("part"))
+        .agg(F.count("*").alias("c"))
+        .unionAll(
+            edges.groupBy(F.col("pb").alias("part")).agg(
+                F.count("*").alias("c")
+            )
+        )
+        .groupBy("part")
+        .agg(F.sum("c").cast("long").alias("degree"))
+    )
+    return (
+        deg.groupBy(
+            F.expr("degree div 16").cast("long").alias("bucket")
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_nodes"),
+            F.min("degree").cast("long").alias("min_degree"),
+            F.max("degree").cast("long").alias("max_degree"),
+        )
+    )
