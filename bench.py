@@ -173,6 +173,9 @@ HEADLINE = [
     "hier_flatten",
     "graph_triangle_count",
     "graph_degree_hist",
+    "text_bm25",
+    "text_pmi_bigrams",
+    "text_zipf_slope",
 ]
 
 

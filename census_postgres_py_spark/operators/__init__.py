@@ -64,4 +64,5 @@ from census_postgres_py_spark.operators import (  # noqa: F401
     ext_round4l,
     ext_round4m,
     ext_round4n,
+    ext_round4o,
 )
