@@ -176,6 +176,9 @@ HEADLINE = [
     "text_bm25",
     "text_pmi_bigrams",
     "text_zipf_slope",
+    "dq_outlier_iqr",
+    "sample_weighted",
+    "win_bollinger",
 ]
 
 

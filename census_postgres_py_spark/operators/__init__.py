@@ -65,4 +65,5 @@ from census_postgres_py_spark.operators import (  # noqa: F401
     ext_round4m,
     ext_round4n,
     ext_round4o,
+    ext_round4p,
 )
