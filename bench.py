@@ -179,6 +179,9 @@ HEADLINE = [
     "dq_outlier_iqr",
     "sample_weighted",
     "win_bollinger",
+    "join_skyline",
+    "ts_active_intervals",
+    "emb_truncation_quality",
 ]
 
 

@@ -66,4 +66,5 @@ from census_postgres_py_spark.operators import (  # noqa: F401
     ext_round4n,
     ext_round4o,
     ext_round4p,
+    ext_round4q,
 )
