@@ -182,6 +182,9 @@ HEADLINE = [
     "join_skyline",
     "ts_active_intervals",
     "emb_truncation_quality",
+    "agg_growth_accounting",
+    "agg_trimmed_mean",
+    "join_nearest_facility",
 ]
 
 
