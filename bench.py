@@ -200,6 +200,15 @@ def main() -> int:
     spark = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName("census-spark-bench")
+        # Heap must be set before the JVM launches. The default 1g is
+        # enough for most headline queries but not for the dense-graph
+        # ones (graph_triangle_count shuffles ~50M wedge rows at
+        # sf0.1) — and a single OOM kills the shared SparkContext and
+        # every query after it.
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+        )
         .config("spark.sql.shuffle.partitions", cpus)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
