@@ -185,6 +185,9 @@ HEADLINE = [
     "agg_growth_accounting",
     "agg_trimmed_mean",
     "join_nearest_facility",
+    "agg_ks_statistic",
+    "agg_decile_lift",
+    "win_rolling_corr",
 ]
 
 
