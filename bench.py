@@ -188,6 +188,9 @@ HEADLINE = [
     "agg_ks_statistic",
     "agg_decile_lift",
     "win_rolling_corr",
+    "agg_auc_roc",
+    "fn_luhn_checksum",
+    "dq_uniqueness_profile",
 ]
 
 
