@@ -191,6 +191,9 @@ HEADLINE = [
     "agg_auc_roc",
     "fn_luhn_checksum",
     "dq_uniqueness_profile",
+    "ts_periodogram",
+    "transform_winsorize",
+    "hier_rollup_spend",
 ]
 
 
