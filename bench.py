@@ -194,6 +194,9 @@ HEADLINE = [
     "ts_periodogram",
     "transform_winsorize",
     "hier_rollup_spend",
+    "agg_adstock",
+    "agg_rolling_active_users",
+    "fn_workdays_between",
 ]
 
 
