@@ -197,6 +197,9 @@ HEADLINE = [
     "agg_adstock",
     "agg_rolling_active_users",
     "fn_workdays_between",
+    "agg_eb_smoothed_rate",
+    "agg_mann_kendall",
+    "transform_rare_collapse",
 ]
 
 
