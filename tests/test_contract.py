@@ -128,6 +128,28 @@ SURVEY_IDS = {
     "dedup_source_mirror",
     # §2.26 round-4l extensions
     "dq_sequence_gaps", "agg_order_aging",
+    # §2.27 round-4m extensions
+    "ts_autocorr", "ts_cusum_changepoint", "win_vwap",
+    # §2.28 round-4n extensions
+    "hier_flatten", "graph_triangle_count", "graph_degree_hist",
+    # §2.29 round-4o extensions
+    "text_bm25", "text_pmi_bigrams", "text_zipf_slope",
+    # §2.30 round-4p extensions
+    "dq_outlier_iqr", "sample_weighted", "win_bollinger",
+    # §2.31 round-4q extensions
+    "join_skyline", "ts_active_intervals", "emb_truncation_quality",
+    # §2.32 round-4r extensions
+    "agg_growth_accounting", "agg_trimmed_mean", "join_nearest_facility",
+    # §2.33 round-4s extensions
+    "agg_ks_statistic", "agg_decile_lift", "win_rolling_corr",
+    # §2.34 round-4t extensions
+    "agg_auc_roc", "fn_luhn_checksum", "dq_uniqueness_profile",
+    # §2.35 round-4u extensions
+    "ts_periodogram", "transform_winsorize", "hier_rollup_spend",
+    # §2.36 round-4v extensions
+    "agg_adstock", "agg_rolling_active_users", "fn_workdays_between",
+    # §2.37 round-4w extensions
+    "agg_eb_smoothed_rate", "agg_mann_kendall", "transform_rare_collapse",
 }
 
 
