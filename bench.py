@@ -200,6 +200,9 @@ HEADLINE = [
     "agg_eb_smoothed_rate",
     "agg_mann_kendall",
     "transform_rare_collapse",
+    "win_ohlc_candles",
+    "emb_dedup_sweep",
+    "pipeline_manifest_prune_e2e",
 ]
 
 

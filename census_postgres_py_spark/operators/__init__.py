@@ -73,4 +73,5 @@ from census_postgres_py_spark.operators import (  # noqa: F401
     ext_round4u,
     ext_round4v,
     ext_round4w,
+    ext_round4x,
 )

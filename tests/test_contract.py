@@ -150,6 +150,8 @@ SURVEY_IDS = {
     "agg_adstock", "agg_rolling_active_users", "fn_workdays_between",
     # §2.37 round-4w extensions
     "agg_eb_smoothed_rate", "agg_mann_kendall", "transform_rare_collapse",
+    # §2.38 round-4x extensions
+    "win_ohlc_candles", "emb_dedup_sweep", "pipeline_manifest_prune_e2e",
 }
 
 
