@@ -203,6 +203,12 @@ HEADLINE = [
     "win_ohlc_candles",
     "emb_dedup_sweep",
     "pipeline_manifest_prune_e2e",
+    "win_rsi",
+    "text_feature_hashing",
+    "agg_dormancy_states",
+    "win_attribution_position",
+    "agg_lorenz_points",
+    "dq_fk_inference",
 ]
 
 

@@ -74,4 +74,6 @@ from census_postgres_py_spark.operators import (  # noqa: F401
     ext_round4v,
     ext_round4w,
     ext_round4x,
+    ext_round4y,
+    ext_round4z,
 )

