@@ -209,6 +209,9 @@ HEADLINE = [
     "win_attribution_position",
     "agg_lorenz_points",
     "dq_fk_inference",
+    "pipeline_feature_store_e2e",
+    "dq_temporal_consistency",
+    "agg_overdispersion",
 ]
 
 

@@ -156,6 +156,9 @@ SURVEY_IDS = {
     "win_rsi", "text_feature_hashing", "agg_dormancy_states",
     # §2.40 round-4z extensions
     "win_attribution_position", "agg_lorenz_points", "dq_fk_inference",
+    # §2.41 round-4aa extensions
+    "pipeline_feature_store_e2e", "dq_temporal_consistency",
+    "agg_overdispersion",
 }
 
 
