@@ -212,6 +212,9 @@ HEADLINE = [
     "pipeline_feature_store_e2e",
     "dq_temporal_consistency",
     "agg_overdispersion",
+    "agg_sprt_decision",
+    "emb_centroid_drift",
+    "join_bipartite_projection",
 ]
 
 

@@ -159,6 +159,8 @@ SURVEY_IDS = {
     # §2.41 round-4aa extensions
     "pipeline_feature_store_e2e", "dq_temporal_consistency",
     "agg_overdispersion",
+    # §2.42 round-4ab extensions
+    "agg_sprt_decision", "emb_centroid_drift", "join_bipartite_projection",
 }
 
 
