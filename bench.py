@@ -215,6 +215,9 @@ HEADLINE = [
     "agg_sprt_decision",
     "emb_centroid_drift",
     "join_bipartite_projection",
+    "text_prefix_autocomplete",
+    "dedup_tfidf_cosine",
+    "dq_coverage_matrix",
 ]
 
 

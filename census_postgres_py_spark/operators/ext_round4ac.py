@@ -1,0 +1,325 @@
+"""Round-4ac extension operators (SURVEY.md §2.43).
+
+Search-infra, weighted-dedup and completeness reads: a prefix
+autocomplete index (prefix → top-3 completions, the type-ahead
+artifact), TF-IDF signature cosine near-dup (weighted overlap — the
+dedup variant that ignores stopword collisions raw Jaccard falls
+for), and the coverage matrix (which (nation, month) reporting
+cells are missing — the completeness grid behind "did everyone
+report this period?").
+
+Contract discipline identical to the other extension modules:
+TF-IDF cells e6-integerize BEFORE any pair arithmetic so dots and
+norms are exact integers; prefix ranking carries a total tiebreak;
+the coverage grid is a tiny dim × calendar cross join anti-joined
+against facts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from census_postgres_py_spark.functions.text import tokens
+from census_postgres_py_spark.registry import register
+from census_postgres_py_spark.tables import t
+
+_D38 = "decimal(38,0)"
+
+
+# ---------------------------------------------------------------------------
+# text_prefix_autocomplete — prefix → top-3 completions index
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_prefix_autocomplete",
+    oracle="""
+    WITH cnt AS (
+        SELECT term, CAST(count(*) AS BIGINT) AS c FROM (
+            SELECT unnest(list_filter(string_split(text, ' '),
+                                      x -> x <> '')) AS term
+            FROM documents
+        ) GROUP BY term
+    ), pref AS (
+        SELECT substring(term, 1, p) AS prefix, term, c
+        FROM cnt, unnest(generate_series(2, 5)) AS t(p)
+        WHERE len(term) >= p
+    ), ranked AS (
+        SELECT prefix, term, c,
+               row_number() OVER (
+                   PARTITION BY prefix ORDER BY c DESC, term) AS rn
+        FROM pref
+    )
+    SELECT prefix, term, c AS term_count, CAST(rn AS BIGINT) AS rn
+    FROM ranked WHERE rn <= 3
+    """,
+)
+def text_prefix_autocomplete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocomplete index: for every 2–5 character prefix in the
+    corpus vocabulary, the top-3 completions by frequency — the
+    artifact a type-ahead service loads, built batch-side.
+
+    The heavy pass is ONE combinable term count over the corpus;
+    prefix explosion (≤4 rows per term) happens on the VOCABULARY
+    frame, which is tiny at any corpus size — this is why
+    autocomplete indexes build from the term dictionary, never the
+    raw token stream. Per-prefix top-3 is a WindowGroupLimit with a
+    lexicographic tiebreak.
+    """
+    cnt = (
+        t(spark, sf_dir, "documents")
+        .select(F.explode(tokens("text")).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    ps = spark.range(2, 6).select(F.col("id").cast("int").alias("p"))
+    pref = (
+        cnt.crossJoin(F.broadcast(ps))
+        .filter(F.length("term") >= F.col("p"))
+        .select(
+            F.expr("substring(term, 1, p)").alias("prefix"),
+            "term",
+            "c",
+        )
+    )
+    w = Window.partitionBy("prefix").orderBy(F.col("c").desc(), F.col("term"))
+    return (
+        pref.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            "prefix",
+            "term",
+            F.col("c").alias("term_count"),
+            F.col("rn").cast("long").alias("rn"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# dedup_tfidf_cosine — weighted near-dup via signature terms
+# ---------------------------------------------------------------------------
+
+_SIG_K = 5  # signature size: top-weight terms per doc
+_COS_TH = 0.5
+
+
+@register(
+    "dedup_tfidf_cosine",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+                   AS term
+        FROM documents
+    ), tf AS (
+        SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        FROM toks GROUP BY doc_id, term
+    ), dfreq AS (
+        SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term
+    ), nd AS (
+        SELECT CAST(count(*) AS DOUBLE) AS n FROM documents
+    ), cells AS (
+        SELECT tf.doc_id, tf.term,
+               CAST(floor(tf.tf * ln(nd.n / dfreq.df) * 1000000 + 0.5)
+                    AS BIGINT) AS w
+        FROM tf JOIN dfreq USING (term) CROSS JOIN nd
+    ), sig AS (
+        SELECT s.doc_id, d.lang, s.term, s.w FROM (
+            SELECT doc_id, term, w,
+                   row_number() OVER (
+                       PARTITION BY doc_id ORDER BY w DESC, term) AS rn
+            FROM cells WHERE w > 0
+        ) s JOIN documents d ON d.doc_id = s.doc_id
+        WHERE s.rn <= {_SIG_K}
+    ), norms AS (
+        SELECT doc_id, CAST(sum(w * w) AS HUGEINT) AS nsq
+        FROM sig GROUP BY doc_id
+    ), dots AS (
+        SELECT a.doc_id AS da, b.doc_id AS db,
+               CAST(sum(a.w * b.w) AS HUGEINT) AS dot
+        FROM sig a JOIN sig b
+          ON b.term = a.term AND b.lang = a.lang
+         AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT d.da, d.db,
+           floor(CAST(d.dot AS DOUBLE)
+                 / sqrt(CAST(na.nsq AS DOUBLE))
+                 / sqrt(CAST(nb.nsq AS DOUBLE))
+                 * 1000000 + 0.5) / 1000000 AS cos_sim
+    FROM dots d
+    JOIN norms na ON na.doc_id = d.da
+    JOIN norms nb ON nb.doc_id = d.db
+    WHERE CAST(d.dot AS DOUBLE)
+          / sqrt(CAST(na.nsq AS DOUBLE))
+          / sqrt(CAST(nb.nsq AS DOUBLE)) >= {_COS_TH}
+    """,
+)
+def dedup_tfidf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by TF-IDF signature cosine ≥ 0.5: each doc is
+    reduced to its 5 highest-weight terms, pairs meet through an
+    inverted-index join on shared signature terms — the WEIGHTED
+    overlap detector that raw Jaccard can't be (two docs sharing
+    only stopwords score ~0 here).
+
+    Weights e6-integerize per cell (tf·ln(N/df), the text_tfidf
+    precedent) BEFORE any pair math, so dots and squared norms are
+    exact integers and the candidate join can't wobble. The
+    signature cap bounds inverted-index fan-out by K²·df_sig per
+    term (the standard prefix-filtering trick from similarity-join
+    literature) and pairs block by language — the realistic dedup
+    unit AND the hub-buster. The fixture is ADVERSARIAL for sparse
+    similarity joins (a ~40-word vocabulary makes every same-lang
+    pair a candidate), so this sits with the heavy dedup queries in
+    bench; real corpora have Zipfian vocabularies where the
+    signature index is orders sparser.
+    """
+    docs = t(spark, sf_dir, "documents")
+    langs = docs.select("doc_id", "lang")
+    toks = docs.select("doc_id", F.explode(tokens("text")).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(
+        F.count("*").cast("long").alias("tf")
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    nd = docs.agg(F.count("*").cast("double").alias("n"))
+    cells = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "doc_id",
+            "term",
+            F.floor(
+                F.col("tf") * F.log(F.col("n") / F.col("df")) * 1000000
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("w"),
+        )
+        .filter(F.col("w") > 0)
+    )
+    w_sig = Window.partitionBy("doc_id").orderBy(
+        F.col("w").desc(), F.col("term")
+    )
+    sig = (
+        cells.withColumn("rn", F.row_number().over(w_sig))
+        .filter(F.col("rn") <= _SIG_K)
+        .join(langs, "doc_id")
+        .select("doc_id", "lang", "term", "w")
+    )
+    norms = sig.groupBy("doc_id").agg(
+        F.sum((F.col("w") * F.col("w")).cast(_D38)).alias("nsq")
+    )
+    a = sig.select(
+        F.col("doc_id").alias("da"),
+        "lang",
+        "term",
+        F.col("w").alias("wa"),
+    )
+    b = sig.select(
+        F.col("doc_id").alias("db"),
+        F.col("lang").alias("lb"),
+        F.col("term").alias("tb"),
+        F.col("w").alias("wb"),
+    )
+    dots = (
+        a.join(
+            b,
+            (F.col("tb") == F.col("term"))
+            & (F.col("lb") == F.col("lang"))
+            & (F.col("da") < F.col("db")),
+        )
+        .groupBy("da", "db")
+        .agg(F.sum((F.col("wa") * F.col("wb")).cast(_D38)).alias("dot"))
+    )
+    na = norms.select(F.col("doc_id").alias("da"), F.col("nsq").alias("na"))
+    nb = norms.select(F.col("doc_id").alias("db"), F.col("nsq").alias("nb"))
+    cos = (
+        F.col("dot").cast("double")
+        / F.sqrt(F.col("na").cast("double"))
+        / F.sqrt(F.col("nb").cast("double"))
+    )
+    return (
+        dots.join(na, "da")
+        .join(nb, "db")
+        .filter(cos >= _COS_TH)
+        .select(
+            "da",
+            "db",
+            (F.floor(cos * 1000000 + F.lit(0.5)) / 1000000).alias(
+                "cos_sim"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# dq_coverage_matrix — missing (nation, month) reporting cells
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dq_coverage_matrix",
+    oracle="""
+    WITH months AS (
+        SELECT DISTINCT date_trunc('month', o_orderdate) AS m FROM orders
+    ), nations AS (
+        SELECT n_nationkey, n_name FROM nation
+    ), expected AS (
+        SELECT n.n_nationkey, n.n_name, m.m
+        FROM nations n CROSS JOIN months m
+    ), observed AS (
+        SELECT DISTINCT c.c_nationkey AS n_nationkey,
+               date_trunc('month', o.o_orderdate) AS m
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    )
+    SELECT e.n_nationkey, e.n_name,
+           epoch_ms(CAST(e.m AS TIMESTAMP)) AS month_ms
+    FROM expected e
+    LEFT JOIN observed o
+      ON o.n_nationkey = e.n_nationkey AND o.m = e.m
+    WHERE o.n_nationkey IS NULL
+    """,
+)
+def dq_coverage_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coverage gaps: every (nation, month) cell with NO orders —
+    the completeness grid an ops team reads as "which regions went
+    dark in which period" (censuses, ETL feeds and partner reports
+    all get audited this way).
+
+    The expected grid is dims × calendar — a broadcast cross join of
+    two tiny frames, NEVER materialized against the fact table; the
+    observed cells reduce from facts in one DISTINCT (the fact scan
+    is the only data-sized pass); gaps fall out of one anti-join.
+    """
+    o = t(spark, sf_dir, "orders")
+    months = o.select(
+        F.date_trunc("month", "o_orderdate").alias("m")
+    ).distinct()
+    nations = t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    expected = F.broadcast(nations).crossJoin(F.broadcast(months))
+    observed = (
+        o.join(
+            t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey"),
+            o["o_custkey"] == F.col("c_custkey"),
+        )
+        .select(
+            F.col("c_nationkey").alias("nk"),
+            F.date_trunc("month", "o_orderdate").alias("om"),
+        )
+        .distinct()
+    )
+    return (
+        expected.join(
+            observed,
+            (F.col("nk") == F.col("n_nationkey"))
+            & (F.col("om") == F.col("m")),
+            "left_anti",
+        )
+        .select(
+            "n_nationkey",
+            "n_name",
+            F.unix_millis(F.col("m")).alias("month_ms"),
+        )
+    )

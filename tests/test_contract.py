@@ -161,6 +161,8 @@ SURVEY_IDS = {
     "agg_overdispersion",
     # §2.42 round-4ab extensions
     "agg_sprt_decision", "emb_centroid_drift", "join_bipartite_projection",
+    # §2.43 round-4ac extensions
+    "text_prefix_autocomplete", "dedup_tfidf_cosine", "dq_coverage_matrix",
 }
 
 
