@@ -218,6 +218,9 @@ HEADLINE = [
     "text_prefix_autocomplete",
     "dedup_tfidf_cosine",
     "dq_coverage_matrix",
+    "agg_price_index_laspeyres",
+    "ts_backlog_value",
+    "agg_seasonal_strength",
 ]
 
 

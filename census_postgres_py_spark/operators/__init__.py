@@ -79,4 +79,5 @@ from census_postgres_py_spark.operators import (  # noqa: F401
     ext_round4aa,
     ext_round4ab,
     ext_round4ac,
+    ext_round4ad,
 )

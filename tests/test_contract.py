@@ -163,6 +163,9 @@ SURVEY_IDS = {
     "agg_sprt_decision", "emb_centroid_drift", "join_bipartite_projection",
     # §2.43 round-4ac extensions
     "text_prefix_autocomplete", "dedup_tfidf_cosine", "dq_coverage_matrix",
+    # §2.44 round-4ad extensions
+    "agg_price_index_laspeyres", "ts_backlog_value",
+    "agg_seasonal_strength",
 }
 
 
