@@ -221,6 +221,9 @@ HEADLINE = [
     "agg_price_index_laspeyres",
     "ts_backlog_value",
     "agg_seasonal_strength",
+    "agg_gumbel_maxima",
+    "agg_stickiness_ratio",
+    "text_ngram_novelty",
 ]
 
 

@@ -166,6 +166,8 @@ SURVEY_IDS = {
     # §2.44 round-4ad extensions
     "agg_price_index_laspeyres", "ts_backlog_value",
     "agg_seasonal_strength",
+    # §2.45 round-4ae extensions
+    "agg_gumbel_maxima", "agg_stickiness_ratio", "text_ngram_novelty",
 }
 
 
