@@ -224,6 +224,9 @@ HEADLINE = [
     "agg_gumbel_maxima",
     "agg_stickiness_ratio",
     "text_ngram_novelty",
+    "agg_calibration_error",
+    "fn_float32_precision_audit",
+    "join_complement_rank",
 ]
 
 

@@ -81,4 +81,5 @@ from census_postgres_py_spark.operators import (  # noqa: F401
     ext_round4ac,
     ext_round4ad,
     ext_round4ae,
+    ext_round4af,
 )

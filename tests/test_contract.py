@@ -168,6 +168,9 @@ SURVEY_IDS = {
     "agg_seasonal_strength",
     # §2.45 round-4ae extensions
     "agg_gumbel_maxima", "agg_stickiness_ratio", "text_ngram_novelty",
+    # §2.46 round-4af extensions
+    "agg_calibration_error", "fn_float32_precision_audit",
+    "join_complement_rank",
 }
 
 
