@@ -227,6 +227,9 @@ HEADLINE = [
     "agg_calibration_error",
     "fn_float32_precision_audit",
     "join_complement_rank",
+    "agg_bcg_matrix",
+    "agg_abc_xyz",
+    "fn_tax_brackets",
 ]
 
 

@@ -82,4 +82,5 @@ from census_postgres_py_spark.operators import (  # noqa: F401
     ext_round4ad,
     ext_round4ae,
     ext_round4af,
+    ext_round4ag,
 )

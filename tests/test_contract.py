@@ -171,6 +171,8 @@ SURVEY_IDS = {
     # §2.46 round-4af extensions
     "agg_calibration_error", "fn_float32_precision_audit",
     "join_complement_rank",
+    # §2.47 round-4ag extensions
+    "agg_bcg_matrix", "agg_abc_xyz", "fn_tax_brackets",
 }
 
 
