@@ -230,6 +230,9 @@ HEADLINE = [
     "agg_bcg_matrix",
     "agg_abc_xyz",
     "fn_tax_brackets",
+    "join_fifo_matching",
+    "text_burstiness",
+    "agg_price_elasticity",
 ]
 
 

@@ -173,6 +173,8 @@ SURVEY_IDS = {
     "join_complement_rank",
     # §2.47 round-4ag extensions
     "agg_bcg_matrix", "agg_abc_xyz", "fn_tax_brackets",
+    # §2.48 round-4ah extensions
+    "join_fifo_matching", "text_burstiness", "agg_price_elasticity",
 }
 
 
