@@ -233,6 +233,9 @@ HEADLINE = [
     "join_fifo_matching",
     "text_burstiness",
     "agg_price_elasticity",
+    "agg_pvm_bridge",
+    "fn_consistent_sampling",
+    "sample_balanced_classes",
 ]
 
 

@@ -84,4 +84,5 @@ from census_postgres_py_spark.operators import (  # noqa: F401
     ext_round4af,
     ext_round4ag,
     ext_round4ah,
+    ext_round4ai,
 )

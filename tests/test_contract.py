@@ -175,6 +175,8 @@ SURVEY_IDS = {
     "agg_bcg_matrix", "agg_abc_xyz", "fn_tax_brackets",
     # §2.48 round-4ah extensions
     "join_fifo_matching", "text_burstiness", "agg_price_elasticity",
+    # §2.49 round-4ai extensions
+    "agg_pvm_bridge", "fn_consistent_sampling", "sample_balanced_classes",
 }
 
 
