@@ -236,6 +236,9 @@ HEADLINE = [
     "agg_pvm_bridge",
     "fn_consistent_sampling",
     "sample_balanced_classes",
+    "dq_checksum_reconciliation",
+    "dim_golden_record",
+    "agg_retention_fit",
 ]
 
 

@@ -177,6 +177,8 @@ SURVEY_IDS = {
     "join_fifo_matching", "text_burstiness", "agg_price_elasticity",
     # §2.49 round-4ai extensions
     "agg_pvm_bridge", "fn_consistent_sampling", "sample_balanced_classes",
+    # §2.50 round-4aj extensions
+    "dq_checksum_reconciliation", "dim_golden_record", "agg_retention_fit",
 }
 
 
