@@ -27,6 +27,7 @@ from census_postgres_py_spark.tables import t
 _D38 = "decimal(38,0)"
 _EULER = 0.5772156649015329
 _SQRT6_PI = math.sqrt(6.0) / math.pi
+_LNLN99 = math.log(-math.log(0.99))  # shared literal — no per-engine libm
 
 
 # ---------------------------------------------------------------------------
@@ -77,7 +78,7 @@ _SQRT6_PI = math.sqrt(6.0) / math.pi
                - sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
                       / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1)))
-                 * {_SQRT6_PI!r} * ln(-ln(0.99))
+                 * {_SQRT6_PI!r} * ({_LNLN99!r})
                + 0.5) AS BIGINT) AS p99_peak_cents
     FROM s WHERE n > 1
     """,
@@ -123,7 +124,7 @@ def agg_gumbel_maxima(spark: SparkSession, sf_dir: str) -> DataFrame:
     std = F.sqrt((nd * sxx - sx * sx) / (nd * (nd - 1)))
     beta = std * _SQRT6_PI
     mu = (sx / F.col("n")) - _EULER * beta
-    p99 = mu - beta * math.log(-math.log(0.99))
+    p99 = mu - beta * _LNLN99
     return s.filter(F.col("n") > 1).select(
         "event_type",
         "n",
