@@ -239,6 +239,9 @@ HEADLINE = [
     "dq_checksum_reconciliation",
     "dim_golden_record",
     "agg_retention_fit",
+    "agg_reach_frequency",
+    "join_returns_impact",
+    "agg_anova_weekday",
 ]
 
 

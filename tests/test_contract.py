@@ -179,6 +179,8 @@ SURVEY_IDS = {
     "agg_pvm_bridge", "fn_consistent_sampling", "sample_balanced_classes",
     # §2.50 round-4aj extensions
     "dq_checksum_reconciliation", "dim_golden_record", "agg_retention_fit",
+    # §2.51 round-4ak extensions
+    "agg_reach_frequency", "join_returns_impact", "agg_anova_weekday",
 }
 
 
