@@ -242,6 +242,9 @@ HEADLINE = [
     "agg_reach_frequency",
     "join_returns_impact",
     "agg_anova_weekday",
+    "text_perplexity_filter",
+    "dq_distribution_psi",
+    "ts_twab_monthly",
 ]
 
 

@@ -181,6 +181,8 @@ SURVEY_IDS = {
     "dq_checksum_reconciliation", "dim_golden_record", "agg_retention_fit",
     # §2.51 round-4ak extensions
     "agg_reach_frequency", "join_returns_impact", "agg_anova_weekday",
+    # §2.52 round-4al extensions
+    "text_perplexity_filter", "dq_distribution_psi", "ts_twab_monthly",
 }
 
 
