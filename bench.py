@@ -245,6 +245,9 @@ HEADLINE = [
     "text_perplexity_filter",
     "dq_distribution_psi",
     "ts_twab_monthly",
+    "agg_hhi_concentration",
+    "win_rolling_geomean",
+    "dq_denormalized_field_audit",
 ]
 
 

@@ -88,4 +88,5 @@ from census_postgres_py_spark.operators import (  # noqa: F401
     ext_round4aj,
     ext_round4ak,
     ext_round4al,
+    ext_round4am,
 )

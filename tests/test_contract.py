@@ -183,6 +183,9 @@ SURVEY_IDS = {
     "agg_reach_frequency", "join_returns_impact", "agg_anova_weekday",
     # §2.52 round-4al extensions
     "text_perplexity_filter", "dq_distribution_psi", "ts_twab_monthly",
+    # §2.53 round-4am extensions
+    "agg_hhi_concentration", "win_rolling_geomean",
+    "dq_denormalized_field_audit",
 }
 
 
