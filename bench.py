@@ -248,6 +248,9 @@ HEADLINE = [
     "agg_hhi_concentration",
     "win_rolling_geomean",
     "dq_denormalized_field_audit",
+    "agg_did_estimate",
+    "agg_simpson_flip",
+    "dq_header_detail_reconcile",
 ]
 
 

@@ -186,6 +186,8 @@ SURVEY_IDS = {
     # §2.53 round-4am extensions
     "agg_hhi_concentration", "win_rolling_geomean",
     "dq_denormalized_field_audit",
+    # §2.54 round-4an extensions
+    "agg_did_estimate", "agg_simpson_flip", "dq_header_detail_reconcile",
 }
 
 
