@@ -251,6 +251,9 @@ HEADLINE = [
     "agg_did_estimate",
     "agg_simpson_flip",
     "dq_header_detail_reconcile",
+    "agg_interval_union_days",
+    "agg_mutual_information",
+    "win_tail_ratio",
 ]
 
 

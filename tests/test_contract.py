@@ -188,6 +188,8 @@ SURVEY_IDS = {
     "dq_denormalized_field_audit",
     # §2.54 round-4an extensions
     "agg_did_estimate", "agg_simpson_flip", "dq_header_detail_reconcile",
+    # §2.55 round-4ao extensions
+    "agg_interval_union_days", "agg_mutual_information", "win_tail_ratio",
 }
 
 
