@@ -254,6 +254,9 @@ HEADLINE = [
     "agg_interval_union_days",
     "agg_mutual_information",
     "win_tail_ratio",
+    "agg_error_budget_burn",
+    "fn_geo_destination",
+    "dq_attribute_conflicts",
 ]
 
 

@@ -190,6 +190,8 @@ SURVEY_IDS = {
     "agg_did_estimate", "agg_simpson_flip", "dq_header_detail_reconcile",
     # §2.55 round-4ao extensions
     "agg_interval_union_days", "agg_mutual_information", "win_tail_ratio",
+    # §2.56 round-4ap extensions
+    "agg_error_budget_burn", "fn_geo_destination", "dq_attribute_conflicts",
 }
 
 
