@@ -45,7 +45,7 @@ _D38 = "decimal(38,0)"
         SELECT y,
                CAST(count(*) AS BIGINT) AS n_brands,
                CAST(sum(c) AS HUGEINT) AS tot,
-               CAST(sum(c * c) AS HUGEINT) AS ssq
+               CAST(sum(CAST(c AS HUGEINT) * c) AS HUGEINT) AS ssq
         FROM rev GROUP BY y
     )
     SELECT y, n_brands,
@@ -88,10 +88,14 @@ def agg_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("c")
         )
     )
+    # widen BEFORE squaring: brand-year cents clear 3e9 at sf0.1, so
+    # c² overflows int64 (ANSI Spark throws) — the decimal cast must
+    # wrap the operands, not the product
+    cd = F.col("c").cast(_D38)
     s = rev.groupBy("y").agg(
         F.count("*").cast("long").alias("n_brands"),
-        F.sum(F.col("c").cast(_D38)).alias("tot"),
-        F.sum((F.col("c") * F.col("c")).cast(_D38)).alias("ssq"),
+        F.sum(cd).alias("tot"),
+        F.sum(cd * cd).alias("ssq"),
     )
     return s.select(
         "y",
