@@ -257,6 +257,9 @@ HEADLINE = [
     "agg_error_budget_burn",
     "fn_geo_destination",
     "dq_attribute_conflicts",
+    "transform_quantile_normalize",
+    "agg_covariance_matrix",
+    "agg_cohens_d",
 ]
 
 

@@ -92,4 +92,5 @@ from census_postgres_py_spark.operators import (  # noqa: F401
     ext_round4an,
     ext_round4ao,
     ext_round4ap,
+    ext_round4aq,
 )

@@ -192,6 +192,9 @@ SURVEY_IDS = {
     "agg_interval_union_days", "agg_mutual_information", "win_tail_ratio",
     # §2.56 round-4ap extensions
     "agg_error_budget_burn", "fn_geo_destination", "dq_attribute_conflicts",
+    # §2.57 round-4aq extensions
+    "transform_quantile_normalize", "agg_covariance_matrix",
+    "agg_cohens_d",
 }
 
 
