@@ -260,6 +260,9 @@ HEADLINE = [
     "transform_quantile_normalize",
     "agg_covariance_matrix",
     "agg_cohens_d",
+    "agg_spc_rules",
+    "fn_uuid3_mint",
+    "join_apportion_capacity",
 ]
 
 

@@ -195,6 +195,8 @@ SURVEY_IDS = {
     # §2.57 round-4aq extensions
     "transform_quantile_normalize", "agg_covariance_matrix",
     "agg_cohens_d",
+    # §2.58 round-4ar extensions
+    "agg_spc_rules", "fn_uuid3_mint", "join_apportion_capacity",
 }
 
 
