@@ -263,6 +263,9 @@ HEADLINE = [
     "agg_spc_rules",
     "fn_uuid3_mint",
     "join_apportion_capacity",
+    "agg_pareto_crosspoint",
+    "agg_moods_median_test",
+    "dq_benford_second_digit",
 ]
 
 

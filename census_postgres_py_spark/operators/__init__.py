@@ -94,4 +94,5 @@ from census_postgres_py_spark.operators import (  # noqa: F401
     ext_round4ap,
     ext_round4aq,
     ext_round4ar,
+    ext_round4as,
 )

@@ -197,6 +197,9 @@ SURVEY_IDS = {
     "agg_cohens_d",
     # §2.58 round-4ar extensions
     "agg_spc_rules", "fn_uuid3_mint", "join_apportion_capacity",
+    # §2.59 round-4as extensions
+    "agg_pareto_crosspoint", "agg_moods_median_test",
+    "dq_benford_second_digit",
 }
 
 
