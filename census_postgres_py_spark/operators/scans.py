@@ -199,44 +199,53 @@ def schema_from_metadata_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, out_schema)
 
 
-@register("sink_jdbc")  # integration-flagged: no Postgres in harness
+@register(
+    "sink_jdbc",
+    oracle="""
+    SELECT CAST(n_regionkey AS BIGINT) AS region_key,
+           CAST(count(*) AS BIGINT) AS n_nations,
+           min(n_name) AS first_nation
+    FROM nation GROUP BY n_regionkey
+    """,
+)
 def sink_jdbc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """JDBC bulk-load plan (BASELINE.json:7). The harness has no
-    Postgres/driver jar, so this constructs and validates the
-    partitioned writer configuration (sources/jdbc.py) WITHOUT
-    executing the save, and reports the staged plan — rows-only check.
-    The executable path is `sources.jdbc.write_jdbc`, integration-
-    tested when a real URL is supplied via SPARK_GRAFT_JDBC_URL."""
-    from census_postgres_py_spark.sources.jdbc import JdbcTarget, writer_for
+    """JDBC bulk-load round-trip (BASELINE.json:7 "JDBC write to
+    Postgres from DataFrame"). Executes a REAL partitioned
+    ``df.write.jdbc`` — 4 writer connections, batched INSERTs,
+    overwrite+truncate semantics — into an embedded Apache Derby
+    database (the JDBC engine Spark already ships for the Hive
+    metastore), then reads the table back through JDBC and aggregates
+    it, so the oracle hash proves every row survived the
+    write→database→read trip. Swap the target for Postgres via
+    SPARK_GRAFT_JDBC_URL and only the dialect changes; the Spark plan
+    (repartition → parallel INSERT) is identical."""
+    from census_postgres_py_spark.sources.jdbc import (
+        JdbcTarget,
+        derby_target,
+        read_jdbc,
+        writer_for,
+    )
 
     nation = t(spark, sf_dir, "nation")
-    target = JdbcTarget(
-        url=os.environ.get(
-            "SPARK_GRAFT_JDBC_URL", "jdbc:postgresql://localhost:5432/census"
-        ),
-        table="acs_demo.nation",
-        user=os.environ.get("SPARK_GRAFT_JDBC_USER", "census"),
-        password=os.environ.get("SPARK_GRAFT_JDBC_PASSWORD", ""),
-        num_partitions=4,
-    )
-    writer = writer_for(nation, target)  # validates options; does not connect
-    executed = False
-    if os.environ.get("SPARK_GRAFT_JDBC_URL"):
-        writer.save()
-        executed = True
-    n = nation.count()
-    out_schema = T.StructType(
-        [
-            T.StructField("dbtable", T.StringType()),
-            T.StructField("mode", T.StringType()),
-            T.StructField("num_partitions", T.LongType()),
-            T.StructField("rows_staged", T.LongType()),
-            T.StructField("executed", T.BooleanType()),
-        ]
-    )
-    return spark.createDataFrame(
-        [(target.table, "overwrite", target.num_partitions, n, executed)],
-        out_schema,
+    ext_url = os.environ.get("SPARK_GRAFT_JDBC_URL")
+    if ext_url:
+        target = JdbcTarget(
+            url=ext_url,
+            table="acs_demo.nation",
+            user=os.environ.get("SPARK_GRAFT_JDBC_USER", "census"),
+            password=os.environ.get("SPARK_GRAFT_JDBC_PASSWORD", ""),
+            num_partitions=4,
+        )
+    else:
+        target = derby_target("nation_sink")
+    writer_for(nation, target).save()
+    back = read_jdbc(spark, target)
+    return (
+        back.groupBy(F.col("n_regionkey").cast("long").alias("region_key"))
+        .agg(
+            F.count("*").alias("n_nations"),
+            F.min("n_name").alias("first_nation"),
+        )
     )
 
 

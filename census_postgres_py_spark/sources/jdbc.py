@@ -7,16 +7,21 @@ with DROP/CREATE overwrite semantics. Spark-first: partitioned parallel
 inserts, so write throughput scales with executors, the analog of the
 reference's COPY boundary (SURVEY.md §3.2).
 
-INTEGRATION-FLAGGED: the harness has no Postgres and no JDBC driver
-jar, so this module is exercised by config-construction tests only
-(SURVEY.md §7 hard-part f); t2 correctness never depends on it.
+The harness has no Postgres, but Spark ships Apache Derby (the Hive
+metastore's embedded database) with a real JDBC driver — so the
+default executable target here is an embedded-Derby database on local
+disk: every byte still travels the same ``df.write.jdbc`` partitioned
+INSERT path a Postgres load would take. Point ``url``/``driver`` at
+Postgres for the production load; only the dialect changes.
 """
 
 from __future__ import annotations
 
+import os
+import tempfile
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 
 
 @dataclass(frozen=True)
@@ -28,6 +33,50 @@ class JdbcTarget:
     batch_size: int = 10_000
     num_partitions: int = 8  # parallel writer connections
     isolation_level: str = "READ_COMMITTED"
+    driver: str | None = None  # explicit JDBC driver class, if needed
+
+
+#: Derby's auto-registered embedded driver class (derbytools jar, on
+#: Spark's classpath by default for the Hive metastore).
+DERBY_DRIVER = "org.apache.derby.iapi.jdbc.AutoloadedDriver"
+
+
+def derby_target(
+    table: str, db_dir: str | None = None, num_partitions: int = 4
+) -> JdbcTarget:
+    """An embedded-Derby target on local disk.
+
+    Per-process db path by default: Derby embedded locks the database
+    per JVM, so concurrent sessions (pytest vs driver) must not share
+    one. Parallel partition writers are fine — they're connections
+    within the same JVM.
+    """
+    if db_dir is None:
+        db_dir = os.path.join(
+            tempfile.gettempdir(), f"spark_graft_derby_{os.getpid()}"
+        )
+    return JdbcTarget(
+        url=f"jdbc:derby:{db_dir}/db;create=true",
+        table=table,
+        user="app",
+        password="",
+        num_partitions=num_partitions,
+        driver=DERBY_DRIVER,
+    )
+
+
+def read_jdbc(spark: SparkSession, target: JdbcTarget) -> DataFrame:
+    """Read ``target.table`` back through JDBC (round-trip check)."""
+    reader = (
+        spark.read.format("jdbc")
+        .option("url", target.url)
+        .option("dbtable", target.table)
+        .option("user", target.user)
+        .option("password", target.password)
+    )
+    if target.driver:
+        reader = reader.option("driver", target.driver)
+    return reader.load()
 
 
 def writer_for(df: DataFrame, target: JdbcTarget, mode: str = "overwrite"):
@@ -38,7 +87,7 @@ def writer_for(df: DataFrame, target: JdbcTarget, mode: str = "overwrite"):
     bounds parallel connections so a 1000-executor cluster doesn't open
     1000 sessions against one Postgres.
     """
-    return (
+    writer = (
         df.repartition(target.num_partitions)
         .write.format("jdbc")
         .mode(mode)
@@ -50,6 +99,9 @@ def writer_for(df: DataFrame, target: JdbcTarget, mode: str = "overwrite"):
         .option("truncate", "true")
         .option("isolationLevel", target.isolation_level)
     )
+    if target.driver:
+        writer = writer.option("driver", target.driver)
+    return writer
 
 
 def write_jdbc(df: DataFrame, target: JdbcTarget, mode: str = "overwrite") -> None:

@@ -120,3 +120,27 @@ def test_fixed_width_round_trip_property(spark, vals):
     src = spark.createDataFrame(vals, "k int, name string")
     back = parse_fixed_width_lines(format_fixed_width(src, layout), layout)
     assert {tuple(r) for r in back.collect()} == set(vals)
+
+
+def test_jdbc_derby_round_trip(spark, tmp_path):
+    """Real executed JDBC write→read against embedded Derby (the
+    driver Spark ships for the Hive metastore) — proves the partitioned
+    INSERT path end-to-end, not just writer config assembly."""
+    from census_postgres_py_spark.sources.jdbc import (
+        derby_target,
+        read_jdbc,
+        writer_for,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"name{i}") for i in range(100)], "k bigint, name string"
+    )
+    target = derby_target("roundtrip", db_dir=str(tmp_path / "derby"))
+    writer_for(df, target).save()
+    back = read_jdbc(spark, target)
+    assert {tuple(r) for r in back.collect()} == {
+        (i, f"name{i}") for i in range(100)
+    }
+    # overwrite semantics: second save truncates, not appends
+    writer_for(df.limit(10), target).save()
+    assert read_jdbc(spark, target).count() == 10
