@@ -359,6 +359,73 @@ _ORACLE_CC = f"""
 """
 
 
+def min_label_cc(edges: DataFrame, nodes: DataFrame) -> DataFrame:
+    """Distributed connected components over (src, dst) edges; returns
+    (doc_id, label) with label = min node id in the component.
+
+    Min-label propagation PLUS pointer doubling: each round every node
+    takes min(label) over itself and its neighbors, then follows its
+    label's label (path halving — label values are always real node
+    ids, so the hop is a self-join of the label table). Plain
+    propagation needs diameter rounds; the doubling hop lets label
+    information travel 2^k hops after k rounds, so convergence is
+    O(log diameter) — the property that kept the 10x stress corpus's
+    CC from adding rounds with scale (BASELINE.md stress table; cf.
+    Kiveris et al., "Connected Components in MapReduce and Beyond",
+    whose alternating-star rounds bound is the same idea). Per round:
+    one shuffle join + one agg + one self-join, `localCheckpoint` to
+    cut the growing lineage, and an exact changed-row count so we stop
+    at the FIXPOINT (the oracle is a recursive CTE's fixpoint —
+    returning non-converged labels would silently diverge). The
+    32-round cap is a safety net only; hitting it means the edge set
+    is pathological, so fail loudly.
+    """
+    labels = nodes.select(
+        "doc_id", F.col("doc_id").alias("label")
+    ).localCheckpoint()
+    for _ in range(32):
+        prop = edges.join(labels, F.col("src") == F.col("doc_id")).select(
+            F.col("dst").alias("doc_id"), "label"
+        )
+        # Materialize the neighbor-min BEFORE the pointer-doubling
+        # self-join: besides cutting lineage, self-joining the live
+        # union+groupBy plan trips a Catalyst attribute-resolution bug
+        # ("key not found: label#N") in Spark 4.1's localCheckpoint.
+        nm = (
+            labels.unionByName(prop)
+            .groupBy("doc_id")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint()
+        )
+        new_labels = (
+            nm.alias("a")
+            .join(nm.alias("b"), F.col("a.label") == F.col("b.doc_id"), "left")
+            .select(
+                F.col("a.doc_id").alias("doc_id"),
+                F.least(
+                    F.col("a.label"),
+                    F.coalesce(F.col("b.label"), F.col("a.label")),
+                ).alias("label"),
+            )
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            "min_label_cc: label propagation did not converge in 32 "
+            "pointer-doubling rounds (reaches components of diameter "
+            "~2^32) - the edge set is pathological"
+        )
+    return labels
+
+
 @register("dedup_clusters_cc", oracle=_ORACLE_CC)
 def dedup_clusters_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate-CLUSTER assignment: connected components over the
@@ -371,16 +438,9 @@ def dedup_clusters_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     generations (drop-2 and drop-4 tokens), so components are chains,
     not just pairs, and label propagation genuinely has to iterate.
 
-    Algorithm: iterative min-label propagation — labels start as own
-    doc_id; each round every node takes min(label) over itself and its
-    neighbors; stop when no label changed (counted per round). Rounds =
-    graph diameter, which for near-dup clusters is tiny (dup clusters
-    are dense); the same loop at 100 TB is the standard MapReduce-CC
-    idiom (cf. Kiveris et al. "Connected Components in MapReduce"),
-    with `localCheckpoint` each round to cut the growing lineage —
-    exactly what GraphFrames does under the hood, without the
-    dependency. Oracle: DuckDB recursive CTE reaching the same
-    fixpoint.
+    Algorithm: `min_label_cc` — min-label propagation with pointer
+    doubling, O(log diameter) rounds (see its docstring for the scale
+    argument). Oracle: DuckDB recursive CTE reaching the same fixpoint.
     """
     docs = (
         t(spark, sf_dir, "documents")
@@ -404,39 +464,7 @@ def dedup_clusters_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint()
     )
-    labels = shingled.select(
-        "doc_id", F.col("doc_id").alias("label")
-    ).localCheckpoint()
-    # Iterate to the FIXPOINT (changed == 0), not a fixed round count:
-    # the oracle is a recursive CTE's fixpoint, so returning
-    # non-converged labels would silently diverge on any component
-    # whose diameter exceeds the cap. The cap is a safety net only —
-    # min-label propagation converges in <= diameter rounds, so hitting
-    # 64 means the edge set itself is pathological; fail loudly.
-    for _ in range(64):
-        prop = edges.join(labels, F.col("src") == F.col("doc_id")).select(
-            F.col("dst").alias("doc_id"), "label"
-        )
-        new_labels = (
-            labels.unionByName(prop)
-            .groupBy("doc_id")
-            .agg(F.min("label").alias("label"))
-            .localCheckpoint()
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            break
-    else:
-        raise RuntimeError(
-            "dedup_clusters_cc: label propagation did not converge in 64 "
-            "rounds - component diameter > 64 suggests a corrupt edge set"
-        )
+    labels = min_label_cc(edges, shingled.select("doc_id"))
     return labels.select(
         "doc_id", F.col("label").cast("long").alias("cluster_id")
     )
@@ -497,6 +525,18 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     # not a collect; at fixture scale (500 rows, block 128) B=4 -> 10
     # real block-pair groups, so the tiling is genuinely exercised.
     n = e.count()
+    # Exact all-pairs is O(n²) dot products no matter how well it's
+    # tiled — at 10⁵ vectors that's 10¹⁰ similarities, and past that
+    # this baseline tier is the wrong tool at ANY cluster size. Fail
+    # fast with the scale path named rather than melt a cluster.
+    _ALL_PAIRS_MAX = 100_000
+    if n > _ALL_PAIRS_MAX:
+        raise ValueError(
+            f"dedup_embedding_cosine is the EXACT all-pairs baseline and "
+            f"refuses n={n} > {_ALL_PAIRS_MAX} vectors (O(n^2) compute). "
+            f"Use join_similarity_ivf (similarity.py) — the IVF-bucketed "
+            f"approximate tier — or join_similarity_ann for LSH."
+        )
     block_rows = 128 if n <= 4096 else 4096
     n_blocks = max(1, -(-n // block_rows))
 

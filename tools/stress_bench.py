@@ -48,6 +48,7 @@ def _cc_pipeline_uncapped(spark, sf_dir):
     from census_postgres_py_spark.operators.dedup import (
         _inverted_index_jaccard,
         _shingled,
+        min_label_cc,
     )
 
     shingled = _shingled(_uncapped_docs(spark, sf_dir))
@@ -61,28 +62,7 @@ def _cc_pipeline_uncapped(spark, sf_dir):
         )
         .localCheckpoint()
     )
-    labels = shingled.select(
-        "doc_id", F.col("doc_id").alias("label")
-    ).localCheckpoint()
-    for _ in range(64):
-        prop = edges.join(labels, F.col("src") == F.col("doc_id")).select(
-            F.col("dst").alias("doc_id"), "label"
-        )
-        new_labels = (
-            labels.unionByName(prop)
-            .groupBy("doc_id")
-            .agg(F.min("label").alias("label"))
-            .localCheckpoint()
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            break
+    labels = min_label_cc(edges, shingled.select("doc_id"))
     sizes = shingled.select("doc_id", "n_sh")
     joined = labels.join(sizes, "doc_id")
     w = Window.partitionBy("label").orderBy(
