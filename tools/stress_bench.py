@@ -51,7 +51,7 @@ def _cc_pipeline_uncapped(spark, sf_dir):
         min_label_cc,
     )
 
-    shingled = _shingled(_uncapped_docs(spark, sf_dir))
+    shingled = _shingled(_uncapped_docs(spark, sf_dir)).localCheckpoint()
     pairs = _inverted_index_jaccard(shingled).select("a_id", "b_id")
     edges = (
         pairs.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
