@@ -36,7 +36,15 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def _uncapped_docs(spark, sf_dir):
     from census_postgres_py_spark.tables import t
 
-    return t(spark, sf_dir, "documents").select("doc_id", "text")
+    # The synthetic corpus is ONE ~5 MB parquet file -> 2 input splits,
+    # which serializes the tokenize+shingle scan on 2 of 32 cores (a
+    # cluster reading 100 TB gets its parallelism from file splits for
+    # free; a one-file fixture has to manufacture it).
+    return (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
 
 
 def _cc_pipeline_uncapped(spark, sf_dir):
