@@ -296,6 +296,18 @@ def udf_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     SQL twin must agree to the cent.
     """
     li = t(spark, sf_dir, "orders")
+    # One Python round-trip PER ROW means this demo tier must never see
+    # production volume: fail fast with the scale path named (same
+    # policy as dedup_embedding_cosine's all-pairs guard).
+    _PER_ROW_FRAME_MAX = 1_000_000
+    n = li.count()
+    if n > _PER_ROW_FRAME_MAX:
+        raise ValueError(
+            f"udf_window_agg ships one Arrow batch per ROW-frame and "
+            f"refuses n={n} > {_PER_ROW_FRAME_MAX} rows. Use "
+            f"udf_window_agg_fast (segmented-cumsum mapInPandas, one "
+            f"call per batch) — same output, benched ~20x faster."
+        )
     w = (
         Window.partitionBy("o_custkey")
         .orderBy("o_orderdate", "o_orderkey")
