@@ -330,7 +330,6 @@ def main() -> int:
             print(f"bench: {qid} failed: {exc}", file=sys.stderr)
             times[qid] = -1.0
 
-    total = round(sum(v for v in times.values() if v >= 0), 3)
     # The full per-query map (242 entries, ~6 KB) overflowed the
     # driver's tail capture in round 4 (BENCH_r04.json "parsed": null),
     # losing the round's official perf record. Per the r4 VERDICT
@@ -339,39 +338,43 @@ def main() -> int:
     # sf, and only the slowest queries (where regressions live).
     here = os.path.dirname(os.path.abspath(__file__))
     with open(os.path.join(here, "bench_queries.json"), "w") as fh:
-        json.dump(
-            {
-                "metric": "headline_total",
-                "value": total,
-                "unit": "sec",
-                "sf": sf,
-                "n_queries": len(times),
-                "queries": times,
-            },
-            fh,
-            indent=1,
-            sort_keys=True,
-        )
-    slowest = dict(
-        sorted(times.items(), key=lambda kv: -kv[1])[:12]
-    )
-    failed = sorted(q for q, v in times.items() if v < 0)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_total",
-                "value": total,
-                "unit": "sec",
-                "queries": slowest,
-                "sf": sf,
-                "n_queries": len(times),
-                "n_failed": len(failed),
-                "failed": failed[:10],
-                "queries_file": "bench_queries.json",
-            }
-        )
-    )
+        json.dump(full_record(times, sf), fh, indent=1, sort_keys=True)
+    print(compact_line(times, sf))
     return 0
+
+
+def full_record(times: dict, sf) -> dict:
+    total = round(sum(v for v in times.values() if v >= 0), 3)
+    return {
+        "metric": "headline_total",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "n_queries": len(times),
+        "queries": times,
+    }
+
+
+def compact_line(times: dict, sf) -> str:
+    """The driver-parsed stdout line. MUST stay small: the driver tail-
+    captures stdout, and a >~4 KB line is what lost BENCH_r04
+    (tests/test_bench_contract.py pins the budget)."""
+    total = round(sum(v for v in times.values() if v >= 0), 3)
+    slowest = dict(sorted(times.items(), key=lambda kv: -kv[1])[:12])
+    failed = sorted(q for q, v in times.items() if v < 0)
+    return json.dumps(
+        {
+            "metric": "headline_total",
+            "value": total,
+            "unit": "sec",
+            "queries": slowest,
+            "sf": sf,
+            "n_queries": len(times),
+            "n_failed": len(failed),
+            "failed": failed[:10],
+            "queries_file": "bench_queries.json",
+        }
+    )
 
 
 if __name__ == "__main__":
