@@ -199,3 +199,49 @@ def test_min_label_cc_chain_converges_in_log_rounds(spark):
     labels = {r["doc_id"]: r["label"] for r in min_label_cc(edges, nodes).collect()}
     assert all(labels[i] == 0 for i in range(n))
     assert labels[1000] == 1000
+
+
+@pytest.mark.parametrize("seed", [7, 41, 1337])
+def test_prefix_filtered_index_equals_naive_reference(spark, seed):
+    """The PPJoin-style prefix filter must be EXACT: on corpora built
+    from a tiny vocabulary (every shingle hot — the filter's worst
+    case), its output equals a brute-force Python reference pair for
+    pair, including the common counts and rounded Jaccards."""
+    import itertools
+    import random
+
+    from census_postgres_py_spark.operators.dedup import (
+        _inverted_index_jaccard,
+        _shingled,
+    )
+
+    rng = random.Random(seed)
+    vocab = [f"w{i}" for i in range(8)]
+    docs = []
+    for doc_id in range(40):
+        base = [rng.choice(vocab) for _ in range(rng.randint(3, 20))]
+        docs.append((doc_id, " ".join(base)))
+        if rng.random() < 0.5:  # planted near-dup: drop the tail token
+            docs.append((1000 + doc_id, " ".join(base[:-1]) or base[0]))
+
+    def sh(text):
+        w = text.split()
+        return {" ".join(w[i : i + 3]) for i in range(len(w) - 2)}
+
+    expected = {}
+    for (a, ta), (b, tb) in itertools.combinations(docs, 2):
+        a_id, b_id = min(a, b), max(a, b)
+        sa, sb = (sh(ta), sh(tb)) if a_id == a else (sh(tb), sh(ta))
+        if not sa or not sb:
+            continue
+        common = len(sa & sb)
+        union = len(sa | sb)
+        if union and common / union >= 0.5:
+            expected[(a_id, b_id)] = (common, round(common / union, 4))
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r["a_id"], r["b_id"]): (r["common"], r["jaccard"])
+        for r in _inverted_index_jaccard(_shingled(df)).collect()
+    }
+    assert got == expected
