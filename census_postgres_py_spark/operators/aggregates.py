@@ -424,11 +424,12 @@ def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM lineitem GROUP BY l_returnflag
     )
     SELECT l_returnflag, n,
-           sx / n AS mean_qty,
-           (sxx - sx * sx / n) / (n - 1) AS var_qty,
-           (n * sxy - sx * sy)
-               / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
-               AS corr_qty_price
+           floor((sx / n) * 1000000 + 0.5) / 1000000 AS mean_qty,
+           floor(((sxx - sx * sx / n) / (n - 1)) * 1000000 + 0.5)
+               / 1000000 AS var_qty,
+           floor(((n * sxy - sx * sy)
+               / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)))
+               * 1000000 + 0.5) / 1000000 AS corr_qty_price
     FROM s
     """,
 )
@@ -462,12 +463,20 @@ def agg_stats_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
     sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    # The sufficient statistics are bit-identical across engines, but
+    # the closed-form moment EXPRESSIONS are compound double math where
+    # compiler FMA contraction can differ by 1 ULP between DuckDB and
+    # the JVM (seen at sf0.001 on corr) — so pin all three to the
+    # repo-wide floor(x*1e6+0.5)/1e6 idiom on both sides.
+    def _r6(c):
+        return F.floor(c * 1e6 + F.lit(0.5)) / 1e6
+
     return s.select(
         "l_returnflag",
         "n",
-        (sx / n).alias("mean_qty"),
-        ((sxx - sx * sx / n) / (n - 1)).alias("var_qty"),
-        (
+        _r6(sx / n).alias("mean_qty"),
+        _r6((sxx - sx * sx / n) / (n - 1)).alias("var_qty"),
+        _r6(
             (n * sxy - sx * sy)
             / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
         ).alias("corr_qty_price"),
