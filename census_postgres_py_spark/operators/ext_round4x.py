@@ -228,8 +228,11 @@ def emb_dedup_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     th = spark.createDataFrame(
         [(x,) for x in _THRESHOLDS], "th_x100 long"
     )
+    # broadcast the 5-row threshold frame explicitly — without the hint
+    # this planned a CartesianProduct (pairs ⨯ th materialized by
+    # shuffle), the one plan shape banned repo-wide (tools/plan_sweep.py)
     return (
-        th.crossJoin(pairs)
+        pairs.crossJoin(F.broadcast(th))
         .groupBy("th_x100")
         .agg(
             F.count(
