@@ -270,14 +270,45 @@ def udf_pandas_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Exact-cents formulation: accumulating double DOLLARS lets float
+# rounding drift across the half-cent boundary between engines (seen
+# once at sf0.1, row 54558: .97 vs .96). Both sides instead sum exact
+# integer cents (DuckDB: HUGEINT; kernels: int64), so the two operands
+# of the final division are IDENTICAL integers and IEEE double division
+# makes the rounded result bit-equal by construction.
 _WINDOW_AGG_ORACLE = """
+    WITH c AS (
+        SELECT o_custkey, o_orderkey, o_orderdate,
+               CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS pc
+        FROM orders
+    )
     SELECT o_custkey, o_orderkey,
-           floor(sum(o_totalprice * o_totalprice) OVER w
-                 / sum(o_totalprice) OVER w * 100 + 0.5) / 100 AS w_run
-    FROM orders
+           floor(CAST(sum(pc * pc) OVER w AS DOUBLE)
+                 / CAST(sum(pc) OVER w AS DOUBLE) + 0.5) / 100 AS w_run
+    FROM c
     WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
     """
+
+
+@F.pandas_udf(DoubleType())
+def _wavg_run_cents(price: pd.Series) -> float:
+    """Frame kernel for udf_window_agg: exact int64-cents sums (frame
+    sums stay far under 2^63), one correctly-rounded double division —
+    matches _WINDOW_AGG_ORACLE bit for bit."""
+    import numpy as np
+
+    pc = np.floor(price.to_numpy(dtype="float64") * 100 + 0.5).astype(
+        np.int64
+    )
+    den = int(pc.sum())
+    if not den:
+        return float("nan")
+    num = int((pc * pc).sum())
+    # convert THEN divide (two roundings), matching DuckDB's
+    # CAST(...AS DOUBLE)/CAST(...AS DOUBLE) — Python's exact int/int
+    # division rounds once and can differ by 1 ULP above 2^53
+    return float(np.floor(np.float64(num) / np.float64(den) + 0.5) / 100)
 
 
 @register("udf_window_agg", oracle=_WINDOW_AGG_ORACLE)
@@ -313,14 +344,10 @@ def udf_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("o_orderdate", "o_orderkey")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    run = _weighted_avg("o_totalprice", "o_totalprice").over(w)
-    # Repo-wide 2dp idiom (floor(x*100+0.5)/100) — Spark/DuckDB
-    # round(double, 2) diverge on half-cent boundaries.
-    return li.select(
-        "o_custkey",
-        "o_orderkey",
-        (F.floor(run * 100 + F.lit(0.5)) / 100).alias("w_run"),
-    )
+    # the kernel does its own exact-cents rounding (see
+    # _WINDOW_AGG_ORACLE note) — no outer float rounding to drift
+    run = _wavg_run_cents("o_totalprice").over(w)
+    return li.select("o_custkey", "o_orderkey", run.alias("w_run"))
 
 
 def _running_wavg_batches(
@@ -333,29 +360,41 @@ def _running_wavg_batches(
     straddles a batch boundary are carried across batches."""
     import numpy as np
 
-    last_key, off_pp, off_p = None, 0.0, 0.0
+    last_key, off_pp, off_p = None, np.int64(0), np.int64(0)
     for pdf in batches:
         n = len(pdf)
         if not n:
             continue
         keys = pdf["o_custkey"].to_numpy()
         p = pdf["o_totalprice"].to_numpy(dtype="float64")
-        cpp, cp = np.cumsum(p * p), np.cumsum(p)
-        starts = np.flatnonzero(np.r_[True, keys[1:] != keys[:-1]])
-        sizes = np.diff(np.r_[starts, n])
-        base_pp = np.repeat(np.r_[0.0, cpp[starts[1:] - 1]], sizes)
-        base_p = np.repeat(np.r_[0.0, cp[starts[1:] - 1]], sizes)
-        seg_pp, seg_p = cpp - base_pp, cp - base_p
-        if last_key is not None and keys[0] == last_key:
-            n0 = starts[1] if len(starts) > 1 else n
-            seg_pp[:n0] += off_pp
-            seg_p[:n0] += off_p
-        last_key, off_pp, off_p = keys[-1], seg_pp[-1], seg_p[-1]
+        # Exact integer cents (see _WINDOW_AGG_ORACLE note). The batch-
+        # global int64 cumsum of pc*pc may WRAP mod 2^64 — that is fine
+        # and deliberate: the per-segment difference we actually use is
+        # < 2^63, so modular subtraction recovers it exactly.
+        pc = np.floor(p * 100 + 0.5).astype(np.int64)
+        with np.errstate(over="ignore"):
+            cpp, cp = np.cumsum(pc * pc), np.cumsum(pc)
+            starts = np.flatnonzero(np.r_[True, keys[1:] != keys[:-1]])
+            sizes = np.diff(np.r_[starts, n])
+            zero = np.zeros(1, dtype=np.int64)
+            base_pp = np.repeat(np.r_[zero, cpp[starts[1:] - 1]], sizes)
+            base_p = np.repeat(np.r_[zero, cp[starts[1:] - 1]], sizes)
+            seg_pp, seg_p = cpp - base_pp, cp - base_p
+            if last_key is not None and keys[0] == last_key:
+                n0 = starts[1] if len(starts) > 1 else n
+                seg_pp[:n0] += off_pp
+                seg_p[:n0] += off_p
+        last_key = keys[-1]
+        off_pp, off_p = np.int64(seg_pp[-1]), np.int64(seg_p[-1])
+        w_run = (
+            np.floor(seg_pp.astype("float64") / seg_p.astype("float64") + 0.5)
+            / 100
+        )
         yield pd.DataFrame(
             {
                 "o_custkey": keys,
                 "o_orderkey": pdf["o_orderkey"].to_numpy(),
-                "w_run": np.floor(seg_pp / seg_p * 100 + 0.5) / 100,
+                "w_run": w_run,
             }
         )
 
