@@ -90,13 +90,29 @@ def main() -> int:
         help="use a bare SparkSession like the driver does (no tuned "
         "confs) instead of session.get_spark()",
     )
+    ap.add_argument(
+        "--perturb",
+        action="store_true",
+        help="odd core count + prime shuffle-partition count: perturbs "
+        "partition merge ORDER to flush out order-dependent float "
+        "aggregation that fixed partitioning hides",
+    )
     ap.add_argument("ids", nargs="*")
     args = ap.parse_args()
 
     sys.path.insert(0, ".")
     import __spark_entry__ as entrymod
 
-    if args.vanilla:
+    if args.perturb:
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[5]")
+            .config("spark.sql.shuffle.partitions", "7")
+            .config("spark.default.parallelism", "5")
+            .getOrCreate()
+        )
+    elif args.vanilla:
         from pyspark.sql import SparkSession
 
         spark = SparkSession.builder.master("local[8]").getOrCreate()
