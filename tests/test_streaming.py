@@ -159,3 +159,90 @@ def test_stream_sessionize_state_equals_batch_twin(spark, queries):
     pd.testing.assert_frame_equal(
         stream.astype("int64"), batch.astype("int64")
     )
+
+
+def test_sessionize_state_late_events(spark):
+    """Bounded-state sessionizer under out-of-order + late arrival
+    (r5 VERDICT item 2). Exercises, through the REAL code path:
+
+    * in-batch disorder — batch 0 feeds user 7's session reversed;
+    * MID-STREAM timeout eviction — user 7 is absent from batch 1
+      while the watermark passes its open session's timeout, so the
+      session is emitted by the timeout callback, not by a closing
+      event;
+    * session numbering ACROSS an eviction — user 7 returns in batch
+      2; the tombstone keeps the counter so the new session is
+      session_no 2, not a restart at 1;
+    * the late-drop contract — a batch-2 event at t=40min is behind
+      the late-event watermark (70min, from batch 0's data; Spark
+      filters stateful-op input against the PREVIOUS batch's
+      watermark) and must never reach the handler. Had it survived it
+      would surface as a spurious extra session after s1's eviction.
+    """
+    import os
+    import time
+
+    from pyspark.sql import functions as F
+
+    from census_postgres_py_spark.streaming.jobs import (
+        _scratch,
+        _sessionize_run_stateful,
+    )
+
+    m = 60_000  # one minute in ms
+    day = 86_400_000  # offset off epoch 0 (initial watermark)
+    feed = _scratch(f"sessionize_late_{time.time_ns()}")
+
+    def mk(rows):
+        return spark.createDataFrame(
+            [(u, day + t, e) for (u, t, e) in rows],
+            "user_id long, ts_ms long, event_id long",
+        ).select(
+            "user_id",
+            F.timestamp_millis(F.col("ts_ms")).alias("ts"),
+            "ts_ms",
+            "event_id",
+        )
+
+    batches = [
+        # b0: user 7's session fed OUT OF ORDER; user 8 at t=100min
+        # drags the watermark to 70min
+        [(7, 20 * m, 3), (7, 0 * m, 1), (7, 10 * m, 2), (8, 100 * m, 4)],
+        # b1: user 7 absent; eviction watermark is now 70min > user 7's
+        # timeout (50min) -> s1 emitted BY TIMEOUT here. User 9 pushes
+        # the watermark on
+        [(9, 110 * m, 5)],
+        # b2: t=40min is LATE (behind the 70min late-filter watermark,
+        # dropped); t=120min is fresh and must become session TWO
+        [(7, 40 * m, 6), (7, 120 * m, 7)],
+    ]
+    base_mtime = time.time() - 3600
+    schema = None
+    for i, rows in enumerate(batches):
+        df = mk(rows)
+        schema = df.schema
+        tmp = feed + f"_b{i}"
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = next(p for p in os.listdir(tmp) if p.startswith("part-"))
+        dst = os.path.join(feed, f"batch-{i}.parquet")
+        os.replace(os.path.join(tmp, part), dst)
+        os.utime(dst, (base_mtime + 10 * i, base_mtime + 10 * i))
+
+    out = _sessionize_run_stateful(spark, feed, schema)
+    got = {
+        (r["user_id"], r["session_no"]): (
+            r["start_ms"] - day,
+            r["n_events"],
+            r["dur_ms"],
+        )
+        for r in out.collect()
+    }
+    assert got == {
+        # s1: the three disordered events, dur 20min — NOT stretched by
+        # the late t=40 event, and emitted via mid-stream timeout
+        (7, 1): (0, 3, 20 * m),
+        # s2 NOT s1: the tombstone preserved numbering across eviction
+        (7, 2): (120 * m, 1, 0),
+        (8, 1): (100 * m, 1, 0),
+        (9, 1): (110 * m, 1, 0),
+    }, got
