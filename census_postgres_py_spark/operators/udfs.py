@@ -19,6 +19,7 @@ partitions at 100 TB.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Iterator
 
 import pandas as pd
@@ -329,9 +330,19 @@ def udf_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = t(spark, sf_dir, "orders")
     # One Python round-trip PER ROW means this demo tier must never see
     # production volume: fail fast with the scale path named (same
-    # policy as dedup_embedding_cosine's all-pairs guard).
+    # policy as dedup_embedding_cosine's all-pairs guard). Row count is
+    # a cheap PROXY for what actually costs — the number of per-row
+    # frames shipped to Python — read from the parquet footer (O(1),
+    # no table scan per build); only a non-file source pays a count().
     _PER_ROW_FRAME_MAX = 1_000_000
-    n = li.count()
+    try:
+        import pyarrow.parquet as pq
+
+        n = pq.ParquetFile(
+            os.path.join(sf_dir, "orders.parquet")
+        ).metadata.num_rows
+    except Exception:
+        n = li.count()
     if n > _PER_ROW_FRAME_MAX:
         raise ValueError(
             f"udf_window_agg ships one Arrow batch per ROW-frame and "

@@ -17,7 +17,8 @@ Postgres for the production load; only the dialect changes.
 
 from __future__ import annotations
 
-import os
+import atexit
+import shutil
 import tempfile
 from dataclasses import dataclass
 
@@ -36,9 +37,11 @@ class JdbcTarget:
     driver: str | None = None  # explicit JDBC driver class, if needed
 
 
-#: Derby's auto-registered embedded driver class (derbytools jar, on
-#: Spark's classpath by default for the Hive metastore).
-DERBY_DRIVER = "org.apache.derby.iapi.jdbc.AutoloadedDriver"
+#: Derby's PUBLIC embedded driver class (derbytools jar, on Spark's
+#: classpath by default for the Hive metastore). The internal
+#: org.apache.derby.iapi.jdbc.AutoloadedDriver also works on the
+#: bundled 10.16 but is not a supported entry point.
+DERBY_DRIVER = "org.apache.derby.jdbc.EmbeddedDriver"
 
 
 def derby_target(
@@ -46,15 +49,17 @@ def derby_target(
 ) -> JdbcTarget:
     """An embedded-Derby target on local disk.
 
-    Per-process db path by default: Derby embedded locks the database
-    per JVM, so concurrent sessions (pytest vs driver) must not share
-    one. Parallel partition writers are fine — they're connections
-    within the same JVM.
+    Fresh mkdtemp db path per call by default: Derby embedded locks
+    the database per JVM, so concurrent sessions (pytest vs driver)
+    must not share one — and a pid-derived fixed path could silently
+    attach to a stale database left by a dead process with a reused
+    pid. The directory is registered for atexit cleanup so runs don't
+    accumulate databases in tempdir. Parallel partition writers are
+    fine — they're connections within the same JVM.
     """
     if db_dir is None:
-        db_dir = os.path.join(
-            tempfile.gettempdir(), f"spark_graft_derby_{os.getpid()}"
-        )
+        db_dir = tempfile.mkdtemp(prefix="spark_graft_derby_")
+        atexit.register(shutil.rmtree, db_dir, ignore_errors=True)
     return JdbcTarget(
         url=f"jdbc:derby:{db_dir}/db;create=true",
         table=table,

@@ -17,5 +17,7 @@ def test_udf_window_agg_refuses_production_volume(spark, monkeypatch):
             return 1_000_001
 
     monkeypatch.setattr(mod, "t", lambda *a, **k: FakeCount())
+    # sf_dir with no orders.parquet => the O(1) footer proxy is
+    # unavailable and the guard falls back to the table count
     with pytest.raises(ValueError, match="udf_window_agg_fast"):
-        mod.udf_window_agg(spark, "/root/testdata/sf0.001")
+        mod.udf_window_agg(spark, "/nonexistent_sf_dir")
