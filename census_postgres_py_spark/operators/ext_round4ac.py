@@ -180,10 +180,26 @@ def dedup_tfidf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     so pruning is lossless; a hot vocabulary term (high df, the hub
     that used to contribute df² candidate pairs) sorts LAST and is
     the first thing dropped, so the inverted index joins on the
-    rare, discriminative end of each signature. Candidates =
-    (prefix ⋈ full) ∪ (full ⋈ prefix) — the bound only needs the
-    shared set to miss EITHER side's prefix — then exact
-    integer-dot verification on the deduped pair set.
+    rare, discriminative end of each signature. Candidates = a
+    SINGLE prefix ⋈ full join keyed so the prefix side is the
+    smaller doc_id — lossless because the suffix bound holds per
+    doc: a pair sharing nothing in the smaller doc's prefix is
+    below τ regardless of what the other doc indexes. The join rows
+    carry both weights and the per-doc norm/suffix-potential
+    constants, so ONE groupBy dedups each candidate pair, sums its
+    partial dot over the indexed shared terms, and applies the
+    Bayardo upper bound exact_cos ≤ partial_cos + suffix_pot(da) —
+    pairs provably below τ die inside that single pass. Only the
+    ≈ output-sized survivor shell is re-dotted exactly, via a
+    per-pair fold over the two ≤K-entry signature maps.
+
+    On a degenerate hot-vocabulary corpus the TRUE result is
+    itself Θ(n²) (measured on the 10× stress fixture: 99,878 →
+    6,735,382 pairs for 10× docs), so end-to-end time there is
+    output-bound for ANY candidate generator — the honest scale
+    claim is flat per-output-pair cost, pinned by the stress bench
+    alongside a Heaps-law-vocabulary corpus where the true answer
+    (and the measured runtime) stays ~linear.
     """
     docs = t(spark, sf_dir, "documents")
     langs = docs.select("doc_id", "lang")
@@ -242,48 +258,104 @@ def dedup_tfidf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     flagged = (
         nhat.join(F.broadcast(maxw), "term")
-        .withColumn("tail_pot", F.sum(F.col("xhat") * F.col("maxw")).over(w_tail))
+        .withColumn("pot", F.col("xhat") * F.col("maxw"))
+        .withColumn("tail_pot", F.sum("pot").over(w_tail))
         .withColumn("in_prefix", F.col("tail_pot") >= _COS_TH - 1e-9)
-        .select("doc_id", "lang", "term", "w", "in_prefix")
+        .select("doc_id", "lang", "term", "w", "pot", "in_prefix")
     )
     flagged = flagged.localCheckpoint(eager=False)
-    pref_a = flagged.filter("in_prefix").select(
-        F.col("doc_id").alias("da"), "lang", "term"
+    # single-sided candidate join (lossless): the prefix theorem holds
+    # PER DOC — if a true pair (x, y) shared no term in P(x), every
+    # shared term would sit in x's droppable suffix and cos < τ. So
+    # "shared term ∈ prefix of the smaller-id side" alone captures
+    # every true pair; the former (prefix ⋈ full) ∪ (full ⋈ prefix)
+    # union did the quadratic candidate work twice for nothing.
+    #
+    # Per-doc suffix potential dpa = Σ x̂·maxŵ over the DROPPED rows:
+    # an upper bound (< τ by construction) on what the suffix could
+    # add to ANY cosine, because ŷ_t ≤ maxŵ(t) for every partner doc.
+    droppot = (
+        flagged.filter(~F.col("in_prefix"))
+        .groupBy("doc_id")
+        .agg(F.sum("pot").alias("dpa"))
     )
-    full_b = flagged.select(
+    nrm_d = norms.select(
+        "doc_id", F.sqrt(F.col("nsq").cast("double")).alias("nrm")
+    )
+    pref_a = (
+        flagged.filter("in_prefix")
+        .join(nrm_d, "doc_id")
+        .join(droppot, "doc_id", "left")
+        .select(
+            F.col("doc_id").alias("da"),
+            "lang",
+            "term",
+            F.col("w").alias("wa"),
+            F.col("nrm").alias("na_d"),
+            F.coalesce("dpa", F.lit(0.0)).alias("dpa"),
+        )
+    )
+    full_b = flagged.join(nrm_d, "doc_id").select(
         F.col("doc_id").alias("db"),
         F.col("lang").alias("lb"),
         F.col("term").alias("tb"),
-    )
-    full_a = flagged.select(F.col("doc_id").alias("da"), "lang", "term")
-    pref_b = flagged.filter("in_prefix").select(
-        F.col("doc_id").alias("db"),
-        F.col("lang").alias("lb"),
-        F.col("term").alias("tb"),
+        F.col("w").alias("wb"),
+        F.col("nrm").alias("nb_d"),
     )
     pair_on = (
         (F.col("tb") == F.col("term"))
         & (F.col("lb") == F.col("lang"))
         & (F.col("da") < F.col("db"))
     )
-    cands = (
+    # ONE pair-scale shuffle: the groupBy that dedups candidate pairs
+    # also sums the exact integer dot over the INDEXED shared terms
+    # (the partial dot) and carries the per-doc constants the bound
+    # needs — no joins against the n²-sized pair set.
+    pdots = (
         pref_a.join(full_b, pair_on)
-        .select("da", "db")
-        .union(full_a.join(pref_b, pair_on).select("da", "db"))
-        .distinct()
+        .groupBy("da", "db")
+        .agg(
+            F.sum((F.col("wa") * F.col("wb")).cast(_D38)).alias("pdot"),
+            F.min("na_d").alias("na_d"),
+            F.min("nb_d").alias("nb_d"),
+            F.min("dpa").alias("dpa"),
+        )
     )
-    # exact verification: integer dot over ALL shared signature terms
-    siga = flagged.select(
-        F.col("doc_id").alias("da"), F.col("term").alias("t"), F.col("w").alias("wa")
-    )
-    sigb = flagged.select(
-        F.col("doc_id").alias("db"), F.col("term").alias("t"), F.col("w").alias("wb")
+    # Bayardo-style upper-bound prune: exact_cos ≤ partial_cos +
+    # dpa(da), so a pair below τ on that bound is provably not in the
+    # answer and dies HERE, inside the single pass. Survivors are
+    # ≈ output-sized (true pairs plus a near-threshold shell).
+    survivors = pdots.filter(
+        F.col("pdot").cast("double") / (F.col("na_d") * F.col("nb_d"))
+        + F.col("dpa")
+        >= _COS_TH - 1e-9
+    ).select("da", "db")
+    # exact dot for survivors only: a per-pair fold over the two
+    # ≤K-entry signature maps (JVM-side, no row inflation) recovers
+    # any shared-suffix contribution the partial dot missed.
+    sigmap = flagged.groupBy("doc_id").agg(
+        F.map_from_entries(F.collect_list(F.struct("term", "w"))).alias("m")
     )
     dots = (
-        cands.join(siga, "da")
-        .join(sigb, ["db", "t"])
-        .groupBy("da", "db")
-        .agg(F.sum((F.col("wa") * F.col("wb")).cast(_D38)).alias("dot"))
+        survivors.join(
+            sigmap.select(F.col("doc_id").alias("da"), F.col("m").alias("ma")),
+            "da",
+        )
+        .join(
+            sigmap.select(F.col("doc_id").alias("db"), F.col("m").alias("mb")),
+            "db",
+        )
+        .select(
+            "da",
+            "db",
+            F.expr(
+                "aggregate(map_keys(ma), CAST(0 AS DECIMAL(38,0)), "
+                "(acc, k) -> acc + CAST(ma[k] AS DECIMAL(38,0)) "
+                "* coalesce(mb[k], CAST(0 AS BIGINT)))"
+            )
+            .cast(_D38)
+            .alias("dot"),
+        )
     )
     na = norms.select(F.col("doc_id").alias("da"), F.col("nsq").alias("na"))
     nb = norms.select(F.col("doc_id").alias("db"), F.col("nsq").alias("nb"))

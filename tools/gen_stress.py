@@ -104,19 +104,247 @@ def gen_embeddings(n: int, rng: np.random.Generator, dim: int = 64) -> pa.Table:
     )
 
 
+# Empirical basket-size histogram of sf0.1 lineitem (measured
+# 2026-08-14); keys = lines per order. The co-purchase graph density —
+# what graph_triangle_count / join_bipartite_projection / agg_basket_lift
+# costs scale WITH — is baskets × C(size, 2) / part-pair space, so the
+# honest 10x keeps this histogram fixed while growing baskets AND the
+# part key space 10x (like real TPC-H sf0.1 -> sf1: per-part degree
+# stays ~constant, edges grow ~linearly).
+_BASKET_HIST = {
+    1: 11016, 2: 21814, 3: 29500, 4: 29097, 5: 23631, 6: 15625,
+    7: 8941, 8: 4407, 9: 1959, 10: 818, 11: 292, 12: 93, 13: 29,
+    14: 10, 15: 1, 16: 2, 17: 1,
+}
+
+_P_ADJ = "large hot blue small red green dark light fast slow".split()
+_P_NOUN = "ring bolt screw nut washer gear cap rod pin plate".split()
+_P_TYPE = ["LARGE", "ECONOMY", "SMALL", "STANDARD", "PROMO"]
+_O_PRIO = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+_E_TYPES = ["signup", "click", "purchase", "error", "view"]
+
+
+def gen_tpch_shape(mult: int, rng: np.random.Generator):
+    """10x orders/lineitem/part with sf0.1's measured shape: basket
+    sizes from the empirical histogram, partkeys uniform over a 10x key
+    space (distinct within a basket), value/date/categorical columns
+    spanning the same ranges as the driver fixture."""
+    n_part = 20_000 * mult
+    n_ord = 150_000 * mult
+    n_cust = 15_000 * mult
+
+    part = pa.table(
+        {
+            "p_partkey": pa.array(np.arange(n_part), pa.int64()),
+            "p_name": pa.array(
+                [
+                    f"{_P_ADJ[i % 10]} {_P_NOUN[(i // 10) % 10]}"
+                    for i in range(n_part)
+                ],
+                pa.string(),
+            ),
+            "p_brand": pa.array(
+                [f"Brand#{i % 25}" for i in range(n_part)], pa.string()
+            ),
+            "p_type": pa.array(
+                [_P_TYPE[i % 5] for i in range(n_part)], pa.string()
+            ),
+            "p_size": pa.array(
+                (np.arange(n_part) % 50 + 1).astype(np.int64), pa.int64()
+            ),
+            "p_retailprice": pa.array(
+                900.0 + (np.arange(n_part) % 1000) / 10.0, pa.float64()
+            ),
+        }
+    )
+
+    day_us = 86_400_000_000
+    d0 = np.datetime64("1995-01-01", "us").astype(np.int64)
+    odate = d0 + rng.integers(0, 2404, size=n_ord) * day_us
+    orders = pa.table(
+        {
+            "o_orderkey": pa.array(np.arange(n_ord), pa.int64()),
+            "o_custkey": pa.array(
+                rng.integers(0, n_cust, size=n_ord), pa.int64()
+            ),
+            "o_orderstatus": pa.array(
+                rng.choice(["O", "F", "P"], size=n_ord, p=[0.49, 0.49, 0.02]),
+                pa.string(),
+            ),
+            "o_totalprice": pa.array(
+                np.round(rng.uniform(1000, 500000, size=n_ord), 2),
+                pa.float64(),
+            ),
+            "o_orderdate": pa.array(
+                odate.view("datetime64[us]"), pa.timestamp("us")
+            ),
+            "o_orderpriority": pa.array(
+                rng.choice(_O_PRIO, size=n_ord), pa.string()
+            ),
+        }
+    )
+
+    sizes_v = np.array(list(_BASKET_HIST.keys()))
+    sizes_p = np.array(list(_BASKET_HIST.values()), dtype=np.float64)
+    sizes_p /= sizes_p.sum()
+    basket = rng.choice(sizes_v, size=n_ord, p=sizes_p)
+    n_li = int(basket.sum())
+    l_ok = np.repeat(np.arange(n_ord), basket)
+    # distinct parts within a basket: draw, then re-draw collisions
+    l_pk = rng.integers(0, n_part, size=n_li)
+    off = np.concatenate(([0], np.cumsum(basket)))
+    for o in range(n_ord):
+        s, e = off[o], off[o + 1]
+        seg = l_pk[s:e]
+        while len(np.unique(seg)) < e - s:
+            dup = np.ones(e - s, bool)
+            _, first = np.unique(seg, return_index=True)
+            dup[first] = False
+            seg[dup] = rng.integers(0, n_part, size=int(dup.sum()))
+        l_pk[s:e] = seg
+    l_ln = np.concatenate([np.arange(1, b + 1) for b in basket])
+    sdate = np.repeat(odate, basket) + rng.integers(
+        1, 95, size=n_li
+    ) * day_us
+    lineitem = pa.table(
+        {
+            "l_orderkey": pa.array(l_ok, pa.int64()),
+            "l_partkey": pa.array(l_pk, pa.int64()),
+            "l_suppkey": pa.array(
+                rng.integers(0, 1000 * mult, size=n_li), pa.int64()
+            ),
+            "l_linenumber": pa.array(l_ln.astype(np.int64), pa.int64()),
+            "l_quantity": pa.array(
+                rng.integers(1, 51, size=n_li).astype(np.float64),
+                pa.float64(),
+            ),
+            "l_extendedprice": pa.array(
+                np.round(rng.uniform(900, 105000, size=n_li), 2),
+                pa.float64(),
+            ),
+            "l_discount": pa.array(
+                rng.integers(0, 11, size=n_li) / 100.0, pa.float64()
+            ),
+            "l_tax": pa.array(
+                rng.integers(0, 9, size=n_li) / 100.0, pa.float64()
+            ),
+            "l_returnflag": pa.array(
+                rng.choice(["A", "N", "R"], size=n_li), pa.string()
+            ),
+            "l_linestatus": pa.array(
+                rng.choice(["O", "F"], size=n_li), pa.string()
+            ),
+            "l_shipdate": pa.array(
+                sdate.view("datetime64[us]"), pa.timestamp("us")
+            ),
+        }
+    )
+    return part, orders, lineitem
+
+
+def gen_events(mult: int, rng: np.random.Generator) -> pa.Table:
+    n = 100_000 * mult
+    t0 = np.datetime64("2024-01-01", "us").astype(np.int64)
+    span = 30 * 86_400_000_000
+    ts = t0 + rng.integers(0, span, size=n)
+    ts.sort()
+    return pa.table(
+        {
+            "event_id": pa.array(np.arange(n), pa.int64()),
+            "ts": pa.array(ts.view("datetime64[us]"), pa.timestamp("us")),
+            "user_id": pa.array(
+                rng.integers(0, 1500 * mult, size=n), pa.int64()
+            ),
+            "event_type": pa.array(rng.choice(_E_TYPES, size=n), pa.string()),
+            "value": pa.array(
+                np.round(rng.uniform(0, 560, size=n), 2), pa.float64()
+            ),
+            "props": pa.array(
+                [f'{{"k": {int(k)}}}' for k in rng.integers(0, 100, size=n)],
+                pa.string(),
+            ),
+        }
+    )
+
+
+def gen_documents_heaps(n: int, rng: np.random.Generator) -> pa.Table:
+    """Documents whose vocabulary GROWS with corpus size (Heaps' law,
+    |V| ≈ 1.8·√n, Zipf-1.05 word frequencies) — the realistic web-corpus
+    shape, unlike the driver fixture's fixed 40-word vocab. On the fixed
+    vocab the TRUE near-dup answer is Θ(n²) (top-5 tf-idf signatures
+    collide constantly), so every tf-idf-cosine run there is
+    output-bound by construction; this variant is the corpus where a
+    linear-candidate claim is even POSSIBLE, and is what the
+    dedup_tfidf_cosine_heaps stress row measures."""
+    vocab_n = max(60, int(round(1.8 * n**0.5)))
+    words = np.array([f"w{i:04d}" for i in range(vocab_n)])
+    p = 1.0 / np.power(np.arange(1, vocab_n + 1), 1.05)
+    p /= p.sum()
+    texts: list[str] = []
+    base_cache: list[str] = []
+    for i in range(n):
+        if base_cache and rng.random() < 0.03:
+            toks = base_cache[int(rng.integers(len(base_cache)))].split()
+            for _ in range(max(1, len(toks) // 20)):
+                toks[int(rng.integers(len(toks)))] = words[
+                    int(rng.choice(vocab_n, p=p))
+                ]
+            txt = " ".join(toks)
+        else:
+            k = int(rng.integers(8, 90))
+            txt = " ".join(words[rng.choice(vocab_n, size=k, p=p)])
+            if len(base_cache) < 512:
+                base_cache.append(txt)
+        texts.append(txt)
+    lang = rng.choice(LANGS, size=n, p=LANG_P)
+    return pa.table(
+        {
+            "doc_id": pa.array(np.arange(n), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(lang, pa.string()),
+            "source": pa.array(
+                [f"src{i % 20}" for i in range(n)], pa.string()
+            ),
+            "n_chars": pa.array(
+                np.array([len(s) for s in texts]), pa.int64()
+            ),
+        }
+    )
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="/tmp/stress_sf1")
     ap.add_argument("--mult", type=int, default=10)
+    ap.add_argument(
+        "--heaps-base",
+        default="/tmp/stress_heaps",
+        help="prefix for the two Heaps-vocab document dirs "
+        "(<prefix>_1x and <prefix>_10x)",
+    )
     args = ap.parse_args()
     rng = np.random.default_rng(42)
     os.makedirs(args.out, exist_ok=True)
     docs = gen_documents(5000 * args.mult, rng)
     pq.write_table(docs, os.path.join(args.out, "documents.parquet"))
+    for tag, nn in (("1x", 5000), (f"{args.mult}x", 5000 * args.mult)):
+        hd = f"{args.heaps_base}_{tag}"
+        os.makedirs(hd, exist_ok=True)
+        ht = gen_documents_heaps(nn, np.random.default_rng(7))
+        pq.write_table(ht, os.path.join(hd, "documents.parquet"))
+        print(f"wrote {ht.num_rows} heaps-vocab documents -> {hd}")
     emb = gen_embeddings(2000 * args.mult, rng)
     pq.write_table(emb, os.path.join(args.out, "embeddings.parquet"))
+    part, orders, lineitem = gen_tpch_shape(args.mult, rng)
+    pq.write_table(part, os.path.join(args.out, "part.parquet"))
+    pq.write_table(orders, os.path.join(args.out, "orders.parquet"))
+    pq.write_table(lineitem, os.path.join(args.out, "lineitem.parquet"))
+    ev = gen_events(args.mult, rng)
+    pq.write_table(ev, os.path.join(args.out, "events.parquet"))
     print(
-        f"wrote {docs.num_rows} documents, {emb.num_rows} embeddings "
+        f"wrote {docs.num_rows} documents, {emb.num_rows} embeddings, "
+        f"{part.num_rows} part, {orders.num_rows} orders, "
+        f"{lineitem.num_rows} lineitem, {ev.num_rows} events "
         f"-> {args.out}"
     )
 

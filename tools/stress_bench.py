@@ -93,6 +93,8 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf01", default="/root/testdata/sf0.1")
     ap.add_argument("--sf1", default="/tmp/stress_sf1")
+    ap.add_argument("--heaps01", default="/tmp/stress_heaps_1x")
+    ap.add_argument("--heaps1", default="/tmp/stress_heaps_10x")
     ap.add_argument("--cpus", default="32")
     args = ap.parse_args()
 
@@ -127,6 +129,33 @@ def main() -> None:
                 lambda s, d: qs["join_similarity_ivf"](s, d),
             ),
             ("pipeline_dedup_cc", _cc_pipeline_uncapped),
+            # r5 VERDICT item 4: the prefix-filtered signature-cosine path
+            ("dedup_tfidf_cosine", lambda s, d: qs["dedup_tfidf_cosine"](s, d)),
+            # r5 VERDICT item 6: the heavy-headline non-dedup families.
+            # gen_stress grows orders/lineitem AND the part key space 10x
+            # (empirical basket-size histogram), so the co-purchase graph
+            # keeps its per-part degree like real TPC-H sf0.1 -> sf1.
+            (
+                "graph_triangle_count",
+                lambda s, d: qs["graph_triangle_count"](s, d),
+            ),
+            (
+                "join_bipartite_projection",
+                lambda s, d: qs["join_bipartite_projection"](s, d),
+            ),
+            (
+                "graph_pagerank_iter",
+                lambda s, d: qs["graph_pagerank_iter"](s, d),
+            ),
+            ("agg_basket_lift", lambda s, d: qs["agg_basket_lift"](s, d)),
+            (
+                "join_complement_rank",
+                lambda s, d: qs["join_complement_rank"](s, d),
+            ),
+            (
+                "stream_windowed_topk",
+                lambda s, d: qs["stream_windowed_topk"](s, d),
+            ),
         ]
         # one warm-up pass so JVM/Arrow first-touch isn't in either side
         runs[0][1](spark, args.sf01).write.mode("overwrite").format(
@@ -140,6 +169,31 @@ def main() -> None:
                 fn(spark, sf_dir).write.mode("overwrite").format(
                     "noop"
                 ).save()
+                dt = time.time() - t0
+                results[name][label] = round(dt, 3)
+                print(f"{name} @ {label}: {dt:.2f}s", flush=True)
+            r = results[name]
+            r["ratio"] = round(r["sf1"] / r["sf0.1"], 2)
+            print(f"{name} scaling ratio (10x rows): {r['ratio']}x", flush=True)
+        # tf-idf cosine on the Heaps-law-vocab corpus: the driver-shaped
+        # fixture's fixed 40-word vocab makes the TRUE answer Θ(n²)
+        # (99,878 -> 6,735,382 pairs for 10x docs, measured via the
+        # DuckDB oracle), so the base row above is output-bound for any
+        # candidate generator. This row is the same operator on a corpus
+        # whose vocabulary grows ~√n (Zipf frequencies) — the realistic
+        # shape where near-dup density is linear and the prefix filter
+        # has rare terms to index.
+        if os.path.isdir(args.heaps01) and os.path.isdir(args.heaps1):
+            name = "dedup_tfidf_cosine_heaps"
+            results[name] = {}
+            for label, sf_dir in (
+                ("sf0.1", args.heaps01),
+                ("sf1", args.heaps1),
+            ):
+                t0 = time.time()
+                qs["dedup_tfidf_cosine"](spark, sf_dir).write.mode(
+                    "overwrite"
+                ).format("noop").save()
                 dt = time.time() - t0
                 results[name][label] = round(dt, 3)
                 print(f"{name} @ {label}: {dt:.2f}s", flush=True)
