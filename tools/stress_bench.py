@@ -156,6 +156,14 @@ def main() -> None:
                 "stream_windowed_topk",
                 lambda s, d: qs["stream_windowed_topk"](s, d),
             ),
+            # r6: the bounded-state sessionizer (open-session-tail state
+            # + event-time timeout eviction) against 10x events — the
+            # scale axis its r5 full-history predecessor would have
+            # failed (work per user was O(batches x history)).
+            (
+                "stream_sessionize_state",
+                lambda s, d: qs["stream_sessionize_state"](s, d),
+            ),
         ]
         # one warm-up pass so JVM/Arrow first-touch isn't in either side
         runs[0][1](spark, args.sf01).write.mode("overwrite").format(
