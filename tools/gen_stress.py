@@ -320,7 +320,14 @@ def main() -> None:
         "--heaps-base",
         default="/tmp/stress_heaps",
         help="prefix for the two Heaps-vocab document dirs "
-        "(<prefix>_1x and <prefix>_10x)",
+        "(<prefix>_1x and <prefix>_<mult>x)",
+    )
+    ap.add_argument(
+        "--docs-only",
+        action="store_true",
+        help="only documents/embeddings/heaps (skip the tpch-shaped and "
+        "events tables, whose per-basket generation loop is impractical "
+        "past mult=10 — used for the mult=100 corpus-scaling decade)",
     )
     args = ap.parse_args()
     rng = np.random.default_rng(42)
@@ -335,6 +342,12 @@ def main() -> None:
         print(f"wrote {ht.num_rows} heaps-vocab documents -> {hd}")
     emb = gen_embeddings(2000 * args.mult, rng)
     pq.write_table(emb, os.path.join(args.out, "embeddings.parquet"))
+    if args.docs_only:
+        print(
+            f"wrote {docs.num_rows} documents, {emb.num_rows} embeddings "
+            f"-> {args.out}"
+        )
+        return
     part, orders, lineitem = gen_tpch_shape(args.mult, rng)
     pq.write_table(part, os.path.join(args.out, "part.parquet"))
     pq.write_table(orders, os.path.join(args.out, "orders.parquet"))
