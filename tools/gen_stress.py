@@ -329,9 +329,21 @@ def main() -> None:
         "events tables, whose per-basket generation loop is impractical "
         "past mult=10 — used for the mult=100 corpus-scaling decade)",
     )
+    ap.add_argument(
+        "--events-only",
+        action="store_true",
+        help="only the events table (fully vectorized — practical at "
+        "mult=100, unlike the tpch basket loop); used to push the "
+        "streaming-family scaling measurement to two decades",
+    )
     args = ap.parse_args()
     rng = np.random.default_rng(42)
     os.makedirs(args.out, exist_ok=True)
+    if args.events_only:
+        ev = gen_events(args.mult, rng)
+        pq.write_table(ev, os.path.join(args.out, "events.parquet"))
+        print(f"wrote {ev.num_rows} events -> {args.out}")
+        return
     docs = gen_documents(5000 * args.mult, rng)
     pq.write_table(docs, os.path.join(args.out, "documents.parquet"))
     for tag, nn in (("1x", 5000), (f"{args.mult}x", 5000 * args.mult)):
