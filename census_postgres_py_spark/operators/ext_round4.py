@@ -276,29 +276,43 @@ def agg_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top part-pair co-occurrence across orders (2-item frequent
     itemsets / market-basket support) with a total tiebreak order.
 
-    The pair space is generated by an equi-join ON THE ORDER KEY, so
-    the blow-up is Σ k²/2 over per-order item counts — bounded by the
-    basket size (~7 here), never corpus². The top-k is
+    The C(k,2) pair space expands INSIDE each order's sorted part
+    array (one groupBy + a JVM nested transform — the same idiom as
+    the co-purchase edge builder in ext_round4n), so the blow-up is
+    Σ k²/2 over per-order basket sizes (~7 here), never corpus², and
+    the pair stream skips the self-join-on-orderkey probe/build it
+    used to flow through. collect_set dedups repeat lines in the
+    partial agg, so no separate DISTINCT shuffle either. The top-k is
     TakeOrderedAndProject (a k-row heap per partition, merged on the
     driver), not a global sort. At 100 TB the same plan holds; if
     baskets were huge, cap per-basket items first (the standard
     guard), but that is a data contract, not a plan change.
     """
-    li = (
+    baskets = (
         t(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    a = li.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a")
-    )
-    b = li.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_b")
+        .groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("ps"))
+        # AQE coalesces the compact basket-array stage to a handful
+        # of partitions; re-spread before the C(k,2) fan-out so the
+        # expansion + partial pair counts use every core (same
+        # explode-after-coalesce fix as join_bipartite_projection).
+        .repartition(int(spark.conf.get("spark.sql.shuffle.partitions")))
     )
     pairs = (
-        a.join(b, "ok")
-        .filter(F.col("part_a") < F.col("part_b"))
-        .groupBy("part_a", "part_b")
+        baskets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ps, (x, i) ->"
+                    " transform(slice(ps, i + 2, size(ps)),"
+                    " y -> struct(x AS part_a, y AS part_b))))"
+                )
+            ).alias("p")
+        )
+        .groupBy(
+            F.col("p.part_a").alias("part_a"),
+            F.col("p.part_b").alias("part_b"),
+        )
         .agg(F.count("*").cast("long").alias("n_orders"))
     )
     return pairs.orderBy(
