@@ -307,6 +307,18 @@ def dedup_tfidf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("lb") == F.col("lang"))
         & (F.col("da") < F.col("db"))
     )
+    # Pin the pair stage's parallelism: both index sides are
+    # byte-compact (≤K rows/doc), so the planner broadcasts one and
+    # streams the other with the checkpoint's ~1-partition layout —
+    # and the Σ df² candidate expansion + partial dots then run in a
+    # SINGLE task (measured 6s → 16s flips at sf0.1 depending on
+    # which plan AQE landed on). An explicit hash repartition on the
+    # join keys is exempt from AQE coalescing, co-partitions the
+    # sides if the planner shuffles instead, and costs one exchange
+    # of index-sized (not pair-sized) rows.
+    npart = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    pref_a = pref_a.repartition(npart, "term", "lang")
+    full_b = full_b.repartition(npart, "tb", "lb")
     # ONE pair-scale shuffle: the groupBy that dedups candidate pairs
     # also sums the exact integer dot over the INDEXED shared terms
     # (the partial dot) and carries the per-doc constants the bound
