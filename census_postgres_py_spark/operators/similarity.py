@@ -451,7 +451,14 @@ def pipeline_embedding_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     e = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     nrm = l2_norm(F.col("embedding"))
-    norm = e.select(
+    # The fixture is one compact parquet file -> one scan partition,
+    # and the whole normalize/score/argmax map chain would run in that
+    # single task (tools/stage_audit.py: 1.3s serial at sf0.1). One
+    # hash repartition on vec_id spreads the per-vector math AND
+    # pre-satisfies the argmax window's distribution, so no further
+    # exchange is needed and AQE cannot coalesce it away.
+    npart = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    norm = e.repartition(npart, "vec_id").select(
         "vec_id",
         F.transform(
             F.col("embedding"), lambda x: x.cast("double") / nrm

@@ -119,10 +119,21 @@ def udf_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     """applyInPandas grouped-map transform (per-user z-score), checked
     against the equivalent window-function SQL. Groups are streamed
     one Arrow batch per user — parallel across users, bounded by the
-    largest single group."""
+    largest single group.
+
+    The grouping exchange is explicitly hash-repartitioned: the
+    grouped columns are byte-compact, so AQE otherwise coalesces the
+    shuffle to ONE partition and every user's Python kernel runs in a
+    single task (measured 3.1s serial at sf0.1 by tools/
+    stage_audit.py). A user repartition on the group key satisfies
+    applyInPandas's required distribution (no second exchange) and is
+    exempt from AQE coalescing."""
+    npart = int(spark.conf.get("spark.sql.shuffle.partitions"))
     ev = t(spark, sf_dir, "events").select("event_id", "user_id", "value")
-    return ev.groupBy("user_id").applyInPandas(
-        _zscore, schema="event_id long, user_id long, z double"
+    return (
+        ev.repartition(npart, "user_id")
+        .groupBy("user_id")
+        .applyInPandas(_zscore, schema="event_id long, user_id long, z double")
     )
 
 
@@ -561,7 +572,17 @@ def udf_grouped_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             }
         )
 
-    return o.groupBy("o_orderpriority").applyInPandas(
-        fit,
-        schema="o_orderpriority string, n long, slope_cents_per_day double",
+    # Explicit hash repartition on the group key: AQE otherwise
+    # coalesces the grouping exchange to one partition (5 compact
+    # groups) and every class trains serially in a single task
+    # (tools/stage_audit.py: 1.8s at sf0.1). User repartitions are
+    # exempt from coalescing and satisfy the required distribution.
+    npart = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    return (
+        o.repartition(npart, "o_orderpriority")
+        .groupBy("o_orderpriority")
+        .applyInPandas(
+            fit,
+            schema="o_orderpriority string, n long, slope_cents_per_day double",
+        )
     )
