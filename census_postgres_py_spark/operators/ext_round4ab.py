@@ -260,21 +260,22 @@ def join_bipartite_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     under every neighborhood collaborative filter ("customers like
     you bought…").
 
-    Pair fan-out is Σ_part deg², so hub parts (bought by > 50
-    distinct customers) are dropped: the standard CF popularity cap,
-    which both bounds the quadratic blow-up AND removes the
-    least-informative signal (everyone buys the bestseller). One
-    groupBy co-locates each part's distinct buyer set (collect_set
-    dedups in the partial agg, so no separate DISTINCT shuffle); the
-    size() filter IS the degree cap; and the C(deg,2) ordered pairs
-    expand inside the sorted array via a JVM nested transform —
-    the same Σ deg² pair stream the classic self-join-on-part plan
-    emits, but the probe/build machinery and the pre-filter
-    (cust_a < cust_b discarding half) never run. Per-group state is
-    O(deg(part)) — exactly what a degree-count shuffle carries; under
-    an adversarial mega-hub (one part, ~10⁸ buyers) pre-filter parts
-    with a two-phase count-distinct before collecting. Pair counts
-    are map-side-combinable longs.
+    The projection joins the DISTINCT (customer, part) frame to
+    itself ON PART — fan-out is Σ_part deg², so hub parts (bought by
+    > 50 customers) are dropped first: the standard CF popularity
+    cap, which both bounds the quadratic blow-up AND removes the
+    least-informative signal (everyone buys the bestseller). The cap
+    frame is part-cardinality-sized; everything else is equi-join +
+    combinable count.
+
+    Plan note (measured, don't re-litigate): the in-basket generator
+    expansion that won for agg_cooccurrence and the co-purchase edge
+    builder LOSES here — buyer sets run 30–50 customers (vs ~7-item
+    order baskets), so C(deg,2) ≈ 435 struct allocations per group
+    flow through interpreted lambda transforms, where the self-join
+    emits the same pair stream through codegen'd probe/build. 10×
+    stress corpus: self-join 14.8 s, generator 66.3 s; the generator
+    was ~1.5 s faster only at sf0.1 where pair volume is small.
     """
     cp = (
         t(spark, sf_dir, "lineitem")
@@ -287,32 +288,26 @@ def join_bipartite_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_custkey").alias("cust"),
             F.col("l_partkey").alias("part"),
         )
+        .distinct()
     )
-    buyers = (
+    deg = (
         cp.groupBy("part")
-        .agg(F.array_sort(F.collect_set("cust")).alias("cs"))
-        .filter(F.size("cs") <= _MAX_PART_DEGREE)
-        # The buyer arrays are byte-compact, so AQE coalesces this
-        # stage to ~2 partitions — and the C(deg,2) explode below
-        # would then fan out ~1000x inside 2 tasks. Re-spread BEFORE
-        # the generator: the repartition shuffles only |parts| rows
-        # of ≤cap-int arrays (cheap at any scale) and restores full
-        # parallelism for the expansion + partial pair counts.
-        .repartition(int(spark.conf.get("spark.sql.shuffle.partitions")))
+        .agg(F.count("*").alias("dc"))
+        .filter(F.col("dc") <= _MAX_PART_DEGREE)
+        .select("part")
     )
-    pairs = buyers.select(
-        F.explode(
-            F.expr(
-                "flatten(transform(cs, (x, i) ->"
-                " transform(slice(cs, i + 2, size(cs)),"
-                " y -> struct(x AS cust_a, y AS cust_b))))"
-            )
-        ).alias("p")
-    )
+    kept = cp.join(F.broadcast(deg), "part")
+    a = kept.alias("a")
+    b = kept.alias("b")
     return (
-        pairs.groupBy(
-            F.col("p.cust_a").alias("cust_a"),
-            F.col("p.cust_b").alias("cust_b"),
+        a.join(
+            b,
+            (F.col("b.part") == F.col("a.part"))
+            & (F.col("a.cust") < F.col("b.cust")),
+        )
+        .groupBy(
+            F.col("a.cust").alias("cust_a"),
+            F.col("b.cust").alias("cust_b"),
         )
         .agg(F.count("*").cast("long").alias("n_common"))
         .filter(F.col("n_common") >= _MIN_COMMON)

@@ -56,8 +56,14 @@ def main() -> int:
         ).save()
         return round(time.perf_counter() - t0, 3)
 
-    run("join_multiway_star")
-    run("udf_grouped_map")
+    # warm-ups (JVM codegen + Python/Arrow worker pool) — partial
+    # fixtures like the stress corpora lack some tables, so a failed
+    # warm-up is fine: the first timed rep absorbs the remainder
+    for warm in ("join_multiway_star", "udf_grouped_map"):
+        try:
+            run(warm)
+        except Exception:  # noqa: BLE001
+            pass
 
     for qid in args.ids:
         reps = [run(qid) for _ in range(args.reps)]
