@@ -189,3 +189,26 @@ def test_window_agg_fast_matches_per_frame_surface(spark, queries):
         for r in queries["udf_window_agg_fast"](spark, SF_SMOKE).collect()
     }
     assert slow == fast
+
+
+@pytest.mark.parametrize(
+    "qid, n_pins",
+    [
+        ("udf_grouped_map", 1),
+        ("udf_grouped_train", 1),
+        ("pipeline_embedding_e2e", 2),
+        ("dedup_tfidf_cosine", 2),
+        ("agg_cooccurrence", 1),
+    ],
+)
+def test_parallelism_pins_survive_in_plan(spark, queries, qid, n_pins):
+    """The AQE-coalesce single-task disease (BASELINE.md r6
+    continuation): byte-compact shuffle outputs coalesce to 1-2
+    partitions and the downstream fan-out (pair join, explode,
+    per-group Python kernel) serializes into one task — answers stay
+    exact, wall time goes bimodal. The fix is an explicit repartition
+    on the downstream keys; user repartitions surface as
+    REPARTITION_BY_NUM exchanges and are exempt from coalescing, so
+    their presence in the executed plan IS the regression guard."""
+    plan = _plan(queries[qid](spark, SF_SMOKE))
+    assert plan.count("REPARTITION_BY_NUM") >= n_pins, qid
