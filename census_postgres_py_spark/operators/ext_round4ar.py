@@ -309,6 +309,14 @@ def join_apportion_capacity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rem").desc(), F.col("o_orderkey")
     )
     w_all = Window.partitionBy("wk")
+    # pin the per-week window stage's parallelism: the compact base
+    # frame's exchange otherwise AQE-coalesces to one task (the
+    # single-task disease, BASELINE.md r6 continuation); the explicit
+    # hash repartition on the window key is exempt and serves both
+    # windows with no second exchange
+    base = base.repartition(
+        int(spark.conf.get("spark.sql.shuffle.partitions")), "wk"
+    )
     ranked = base.select(
         "o_orderkey",
         "wk",

@@ -61,6 +61,15 @@ def ts_resample_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounds = hourly.groupBy("user_id").agg(
         F.min("h").alias("h0"), F.max("h").alias("h1")
     )
+    # pin the grid-generation stage's parallelism: bounds is one
+    # compact row per user, so AQE coalesces its exchange to a single
+    # partition and the ~700x sequence/explode fan-out below would run
+    # in one task (the single-task disease, BASELINE.md r6
+    # continuation); the user-key repartition is exempt from
+    # coalescing and also pre-clusters the downstream fill window
+    bounds = bounds.repartition(
+        int(spark.conf.get("spark.sql.shuffle.partitions")), "user_id"
+    )
     grid = bounds.select(
         "user_id",
         F.explode(
