@@ -131,11 +131,21 @@ def agg_tdigest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
         F.pmod(F.xxhash64("event_id"), F.lit(N_SALTS)).alias("salt"),
     )
-    partials = ev.groupBy("event_type", "salt").applyInPandas(
-        partial, _CENTROID_SCHEMA
+    # pin both grouping exchanges' parallelism: the (type, salt) keys
+    # are byte-compact, so AQE otherwise coalesces to one partition
+    # and all ~80 partial digests build serially in a single task
+    # (the single-task disease, BASELINE.md r6 continuation); user
+    # repartitions on the group keys are exempt and add no second
+    # exchange
+    npart = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    partials = (
+        ev.repartition(npart, "event_type", "salt")
+        .groupBy("event_type", "salt")
+        .applyInPandas(partial, _CENTROID_SCHEMA)
     )
     return (
-        partials.groupBy("event_type")
+        partials.repartition(npart, "event_type")
+        .groupBy("event_type")
         .applyInPandas(merge, "event_type string, n double, p50 double, p95 double")
         .select("event_type", F.col("n").cast("long").alias("n"), "p50", "p95")
     )
