@@ -199,6 +199,9 @@ def test_window_agg_fast_matches_per_frame_surface(spark, queries):
         ("pipeline_embedding_e2e", 2),
         ("dedup_tfidf_cosine", 2),
         ("agg_cooccurrence", 1),
+        ("join_apportion_capacity", 1),
+        ("ts_resample_fill", 1),
+        ("agg_tdigest", 2),
     ],
 )
 def test_parallelism_pins_survive_in_plan(spark, queries, qid, n_pins):
