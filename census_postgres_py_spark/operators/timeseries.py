@@ -65,10 +65,15 @@ def ts_resample_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     # compact row per user, so AQE coalesces its exchange to a single
     # partition and the ~700x sequence/explode fan-out below would run
     # in one task (the single-task disease, BASELINE.md r6
-    # continuation); the user-key repartition is exempt from
-    # coalescing and also pre-clusters the downstream fill window
+    # continuation). ROUND-ROBIN on purpose: a user_id-keyed
+    # repartition here is subsumed by the fill window's own
+    # ENSURE_REQUIREMENTS exchange (Catalyst eliminates the adjacent
+    # user shuffle, restoring the coalesced single-task stage), while
+    # a round-robin exchange satisfies no downstream requirement and
+    # therefore survives to spread the explode; the window re-shuffles
+    # the grid either way.
     bounds = bounds.repartition(
-        int(spark.conf.get("spark.sql.shuffle.partitions")), "user_id"
+        int(spark.conf.get("spark.sql.shuffle.partitions"))
     )
     grid = bounds.select(
         "user_id",
