@@ -41,33 +41,21 @@ _LOADED = False
 # exists ONLY so the ~50-id/round sample eventually covers every id —
 # never to steer grading away from any id. The registry is FROZEN at the
 # 355 r4 ids (registry_freeze_r4.json, contract-tested). The queue below
-# is the 155 ids never driver-graded in r2-r5 (complement of the union of
-# CORRECTNESS_r02..r05 keys) in registration order, PLUS ``sink_jdbc``
-# and ``mm_decode_features`` inserted at the head per the r5 VERDICT
-# item 3 (both were graded ``no_oracle`` in r2/r4 but have since gained
-# real hash oracles and need a driver re-grade). Rotation procedure per
+# is the 107 ids never driver-graded in r2-r6 (complement of the union
+# of CORRECTNESS_r02..r06 keys) in registration order; the r6 rotation
+# (verified by tools/rotate_window.py: CORRECTNESS_r06 keys == the prior
+# queue's first 50, all hash-green incl. the two sanctioned re-grades
+# sink_jdbc/mm_decode_features) deleted that head. Rotation procedure per
 # round: verify the new CORRECTNESS_r0N keys == the first 50 below, then
-# delete them from the front. Schedule: r6 grades the first 50 (the two
-# re-grades + 48 never-graded), r7 the next 50, r8 the final 57 ->
-# converged. RETIREMENT (r5 VERDICT item 5, date-stamped in BASELINE.md):
+# delete them from the front. Schedule: r7 grades the first 50 below,
+# r8 the final 57 -> converged.
+# RETIREMENT (r5 VERDICT item 5, date-stamped in BASELINE.md):
 # after r8 drains the queue, DELETE _WINDOW_PRIORITY entirely so
 # ``queries()`` reverts to plain registration order and r9+ windows
 # re-sample already-graded ids. Operator SEMANTICS never depend on this
 # ordering (contract tests compare key sets only).
 _WINDOW_PRIORITY: tuple[str, ...] = (
-    "sink_jdbc", "mm_decode_features", "agg_weighted_percentile", "sink_csv_escaped",
-    "pipeline_warehouse_e2e", "agg_count_min_sketch", "win_rolling_zscore", "transform_minmax_scale",
-    "fn_row_checksum", "dq_dup_rate", "stream_sessionize_state", "agg_markov_transitions",
-    "win_time_since_last", "agg_overlap_matrix", "stream_windowed_topk", "agg_basket_lift",
-    "dedup_incremental", "emb_quantize_int8", "agg_churn_weekly", "agg_seasonality",
-    "win_period_growth", "dq_skew_report", "text_chunk_stride", "fn_unicode_slug",
-    "emb_pca_power", "transform_ffill", "agg_cohort_ltv", "emb_silhouette_approx",
-    "agg_funnel_bounded", "agg_rfm_segments", "agg_benford", "agg_pareto_share",
-    "agg_new_vs_returning", "ts_forecast_naive", "agg_state_merge", "win_peak_detection",
-    "agg_interpurchase_gap", "text_pack_sequences", "agg_chisq_independence", "text_vocab_growth",
-    "agg_survival_curve", "join_mutual_topk", "win_drawdown", "transform_robust_scale",
-    "fn_fiscal_445", "ts_decompose_daily", "sink_dynamic_partition_overwrite", "dedup_record_linkage",
-    "text_js_divergence", "scan_file_metadata", "join_bridge_allocation", "agg_path_signatures",
+    "join_bridge_allocation", "agg_path_signatures",
     "transform_mask_deterministic", "transform_target_encode_loo", "win_rank_delta", "dedup_source_mirror",
     "dq_sequence_gaps", "agg_order_aging", "ts_autocorr", "ts_cusum_changepoint",
     "win_vwap", "hier_flatten", "graph_triangle_count", "graph_degree_hist",

@@ -283,12 +283,11 @@ def test_registry_frozen_at_r4_ids(queries):
 
 def test_window_priority_is_exactly_the_never_graded_ids(queries):
     """The rotation queue must be the complement of the driver-graded
-    union (CORRECTNESS_r02..r05 keys) in registration order — the window
-    exists only to finish coverage, never to steer grading. The sole
-    sanctioned exception (r5 VERDICT item 3): ``sink_jdbc`` and
-    ``mm_decode_features`` sit at the head for a re-grade, because the
-    driver recorded them ``no_oracle`` before they gained real hash
-    oracles."""
+    union (CORRECTNESS_r02..r06 keys) in registration order — the window
+    exists only to finish coverage, never to steer grading. The r5-
+    sanctioned re-grade head insertion (sink_jdbc/mm_decode_features)
+    was graded hash-green in r6 and rotated out, so the queue is now a
+    pure never-graded complement again."""
     import json
     import os
 
@@ -296,12 +295,10 @@ def test_window_priority_is_exactly_the_never_graded_ids(queries):
 
     root = os.path.dirname(os.path.dirname(__file__))
     graded = set()
-    for n in (2, 3, 4, 5):
+    for n in (2, 3, 4, 5, 6):
         graded |= set(json.load(open(os.path.join(root, f"CORRECTNESS_r0{n}.json"))))
     queue = list(registry._WINDOW_PRIORITY)
-    regrades = ["sink_jdbc", "mm_decode_features"]
-    assert queue[:2] == regrades
-    assert set(queue) & graded == set(regrades), sorted(set(queue) & graded)
+    assert set(queue) & graded == set(), sorted(set(queue) & graded)
     assert set(queue) | graded >= set(queries)
     # queue must lead queries() verbatim
     assert list(queries)[: len(queue)] == queue
