@@ -21,7 +21,20 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from census_postgres_py_spark.registry import register
-from census_postgres_py_spark.tables import t
+from census_postgres_py_spark.tables import approx_rows, t
+
+# graph_triangle_count broadcasts the out-adjacency table (|E| total
+# array elements) to both sides of the edge join — a win while E fits
+# comfortably in executor memory, a cluster-killer past it. The gate
+# estimates |E| from the lineitem parquet footer (O(1); edges ≤
+# Σ basket·(basket−1)/2 ≈ 3× lineitem rows at the fixture's ~7-line
+# baskets) and falls back to plain shuffled hash joins on the node key
+# above the cap. ~48 M estimated edges ≈ 16 M lineitem rows ≈ sf8
+# single-node; at ~16 B/element that bounds the broadcast near 800 MB.
+# Override per session with spark.census.graph.broadcastAdjMaxEdges
+# (set 0 to force the shuffle path, a huge value to force broadcast).
+_ADJ_BROADCAST_MAX_EDGES = 48_000_000
+_ADJ_CONF = "spark.census.graph.broadcastAdjMaxEdges"
 
 # Fixture custkeys are dense from 1, so div-10 parents always exist and
 # depth is bounded by log10(max key): 19 levels covers the full int64
@@ -175,22 +188,29 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     single integer aggregation. Orientation still bounds list length
     by out-degree (the standard skew guard). The adjacency broadcast
     holds exactly when E itself is broadcastable (it is E, grouped:
-    |E| total array elements); beyond executor memory, drop the hint
-    and both adjacency attachments revert to shuffled hash joins on
-    the node key.
+    |E| total array elements) — so it is GATED on an O(1) footer
+    estimate of |E| vs ``spark.census.graph.broadcastAdjMaxEdges``
+    (see _ADJ_BROADCAST_MAX_EDGES); past the cap both adjacency
+    attachments become shuffled hash joins on the node key, keeping
+    the same Θ(wedges) intersect work with shuffle-partition
+    parallelism instead of a per-executor copy of E.
     """
+    max_edges = int(spark.conf.get(_ADJ_CONF, str(_ADJ_BROADCAST_MAX_EDGES)))
+    est_edges = 3 * approx_rows(spark, sf_dir, "lineitem")
     edges = _copurchase_edges(spark, sf_dir)
     adj = edges.groupBy(F.col("pa").alias("node")).agg(
         F.collect_list("pb").alias("nbrs")
     )
+    if est_edges <= max_edges:
+        adj = F.broadcast(adj)
     closed = (
         edges.join(
-            F.broadcast(adj).withColumnRenamed("nbrs", "na"),
+            adj.withColumnRenamed("nbrs", "na"),
             edges.pa == F.col("node"),
         )
         .drop("node")
         .join(
-            F.broadcast(adj).withColumnRenamed("nbrs", "nb"),
+            adj.withColumnRenamed("nbrs", "nb"),
             edges.pb == F.col("node"),
         )
         .drop("node")

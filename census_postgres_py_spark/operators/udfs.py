@@ -19,7 +19,6 @@ partitions at 100 TB.
 
 from __future__ import annotations
 
-import os
 from collections.abc import Iterator
 
 import pandas as pd
@@ -29,7 +28,7 @@ from pyspark.sql.types import DoubleType
 from pyspark.sql.window import Window
 
 from census_postgres_py_spark.registry import register
-from census_postgres_py_spark.tables import t
+from census_postgres_py_spark.tables import approx_rows, t
 
 
 @F.pandas_udf(DoubleType())
@@ -344,16 +343,10 @@ def udf_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     # policy as dedup_embedding_cosine's all-pairs guard). Row count is
     # a cheap PROXY for what actually costs — the number of per-row
     # frames shipped to Python — read from the parquet footer (O(1),
-    # no table scan per build); only a non-file source pays a count().
+    # no table scan) via tables.approx_rows, the same path convention
+    # t() scans, so the guard can't silently measure the wrong file.
     _PER_ROW_FRAME_MAX = 1_000_000
-    try:
-        import pyarrow.parquet as pq
-
-        n = pq.ParquetFile(
-            os.path.join(sf_dir, "orders.parquet")
-        ).metadata.num_rows
-    except Exception:
-        n = li.count()
+    n = approx_rows(spark, sf_dir, "orders")
     if n > _PER_ROW_FRAME_MAX:
         raise ValueError(
             f"udf_window_agg ships one Arrow batch per ROW-frame and "

@@ -59,6 +59,37 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def approx_rows(
+    spark: SparkSession, sf_dir: str, name: str
+) -> int:
+    """O(1) row count of one fixture table from its parquet footer.
+
+    Shared by every operator that needs a cheap cardinality guard
+    (per-row-UDF refusals, broadcast-vs-shuffle gates) so the guard and
+    :func:`t`'s scan can never disagree about where the table lives —
+    both derive the path from the same ``{sf_dir}/{name}.parquet``
+    convention here. Falls back to a full ``count()`` only when the
+    footer isn't readable (non-file source, exotic layout); directories
+    of part-files sum their footers without scanning data pages.
+    """
+    import os
+
+    path = f"{sf_dir}/{name}.parquet"
+    try:
+        import pyarrow.parquet as pq
+
+        if os.path.isdir(path):
+            return sum(
+                pq.ParquetFile(os.path.join(root, fn)).metadata.num_rows
+                for root, _, fns in os.walk(path)
+                for fn in fns
+                if fn.endswith(".parquet")
+            )
+        return pq.ParquetFile(path).metadata.num_rows
+    except Exception:
+        return t(spark, sf_dir, name).count()
+
+
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: t(spark, sf_dir, name) for name in TABLE_NAMES}
 

@@ -158,6 +158,43 @@ def test_dynamic_partition_pruning_fires(spark, queries):
     assert any("dynamicpruning" in line.lower() for line in fact_scan), plan
 
 
+def test_triangle_adjacency_broadcast_gate_both_modes(spark, queries):
+    """graph_triangle_count's adjacency broadcast is gated on an O(1)
+    footer estimate of |E| vs spark.census.graph.broadcastAdjMaxEdges
+    (r6 VERDICT item 2: an ungated F.broadcast of a table that grows
+    with E is a cluster-killer past executor memory). autoBroadcast is
+    forced off so the physical plan reflects the GATE's decision, not
+    the planner's tiny-fixture size estimates: gate open → the hint
+    plans both adjacency attachments as BroadcastHashJoin anyway; gate
+    closed (cap 0) → both become shuffled joins, no nested-loop
+    fallback, and the answer is bit-identical."""
+    from census_postgres_py_spark.operators.ext_round4n import _ADJ_CONF
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        hinted = queries["graph_triangle_count"](spark, SF_SMOKE)
+        plan_hinted = _plan(hinted)
+        assert plan_hinted.count("BroadcastHashJoin") >= 2, plan_hinted
+
+        spark.conf.set(_ADJ_CONF, "0")
+        shuffled = queries["graph_triangle_count"](spark, SF_SMOKE)
+        plan_shuffled = _plan(shuffled)
+        assert "BroadcastHashJoin" not in plan_shuffled, plan_shuffled
+        assert "BroadcastNestedLoopJoin" not in plan_shuffled
+        assert "CartesianProduct" not in plan_shuffled
+        assert (
+            plan_shuffled.count("SortMergeJoin")
+            + plan_shuffled.count("ShuffledHashJoin")
+            >= 2
+        ), plan_shuffled
+        assert sorted(map(tuple, hinted.collect())) == sorted(
+            map(tuple, shuffled.collect())
+        )
+    finally:
+        spark.conf.unset(_ADJ_CONF)
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
 def test_null_safe_join_stays_hash_join(spark, queries):
     """eqNullSafe must remain an equi hash-join key - a fallback to
     BroadcastNestedLoopJoin would be quadratic at scale."""
