@@ -44,22 +44,55 @@ class JdbcTarget:
 DERBY_DRIVER = "org.apache.derby.jdbc.EmbeddedDriver"
 
 
+_DERBY_DIR: str | None = None
+
+
+def _process_derby_dir() -> str:
+    """One mkdtemp per PROCESS (lazy singleton): Derby embedded locks a
+    database per JVM, so concurrent sessions (pytest vs driver) must
+    not share one — but repeated calls within one long-lived driver
+    must REUSE one, or temp databases accumulate until process exit.
+    The atexit hook shuts the database down through the engine first
+    (releasing db.lck while the JVM is still up; Derby reports clean
+    shutdown via SQLException 08006, hence the bare except) so the
+    rmtree isn't racing a booted engine."""
+    global _DERBY_DIR
+    if _DERBY_DIR is None:
+        d = tempfile.mkdtemp(prefix="spark_graft_derby_")
+
+        def _cleanup(path: str = d) -> None:
+            try:
+                from pyspark import SparkContext
+
+                sc = SparkContext._active_spark_context
+                if sc is not None:
+                    sc._jvm.java.sql.DriverManager.getConnection(
+                        f"jdbc:derby:{path}/db;shutdown=true"
+                    )
+            except Exception:
+                pass
+            shutil.rmtree(path, ignore_errors=True)
+
+        atexit.register(_cleanup)
+        _DERBY_DIR = d
+    return _DERBY_DIR
+
+
 def derby_target(
     table: str, db_dir: str | None = None, num_partitions: int = 4
 ) -> JdbcTarget:
     """An embedded-Derby target on local disk.
 
-    Fresh mkdtemp db path per call by default: Derby embedded locks
-    the database per JVM, so concurrent sessions (pytest vs driver)
-    must not share one — and a pid-derived fixed path could silently
-    attach to a stale database left by a dead process with a reused
-    pid. The directory is registered for atexit cleanup so runs don't
-    accumulate databases in tempdir. Parallel partition writers are
-    fine — they're connections within the same JVM.
+    The default db path is one mkdtemp per process (see
+    :func:`_process_derby_dir`) — unique across concurrent processes,
+    reused across calls within one, engine-shutdown-then-rmtree at
+    exit. A pid-derived fixed path would be wrong: a dead process's
+    reused pid could silently attach to its stale database. Parallel
+    partition writers are fine — they're connections within the same
+    JVM.
     """
     if db_dir is None:
-        db_dir = tempfile.mkdtemp(prefix="spark_graft_derby_")
-        atexit.register(shutil.rmtree, db_dir, ignore_errors=True)
+        db_dir = _process_derby_dir()
     return JdbcTarget(
         url=f"jdbc:derby:{db_dir}/db;create=true",
         table=table,

@@ -30,9 +30,24 @@ from census_postgres_py_spark.tables import t
 HOUR_MS = 3_600_000
 
 
-def _scratch(name: str) -> str:
+def _scratch(name: str, ephemeral: bool = False) -> str:
+    """Scratch dir under tempdir/cppys_stream.
+
+    ``ephemeral=True`` is for uuid-suffixed per-CALL dirs (feed dirs,
+    foreachBatch outputs, checkpoints): they're atexit-rmtree'd so
+    repeated bench runs don't accumulate scratch. Cleanup can't happen
+    eagerly at the end of the operator — the returned DataFrame reads
+    the memory sink / state-store checkpoint LAZILY, after the operator
+    returns. Marker-cached per-sf_dir dirs (no uuid) stay persistent
+    within tempdir lifetime by design: they're the materialize-once
+    stream sources."""
     base = os.path.join(tempfile.gettempdir(), "cppys_stream", name)
     os.makedirs(base, exist_ok=True)
+    if ephemeral:
+        import atexit
+        import shutil
+
+        atexit.register(shutil.rmtree, base, ignore_errors=True)
     return base
 
 
@@ -161,7 +176,10 @@ def stream_foreachbatch_jdbc(spark: SparkSession, sf_dir: str) -> DataFrame:
     relation re-aggregates across batch outputs, so the oracle total
     is exact regardless of how many micro-batches ran.
     """
-    out_dir = _scratch(f"feb_out_{os.path.basename(sf_dir)}_{uuid.uuid4().hex[:8]}")
+    out_dir = _scratch(
+        f"feb_out_{os.path.basename(sf_dir)}_{uuid.uuid4().hex[:8]}",
+        ephemeral=True,
+    )
 
     def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
         (
@@ -338,7 +356,8 @@ def stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch LEFT JOIN oracle still applies exactly.
     """
     src_dir = _scratch(
-        f"ssl_src_{os.path.basename(sf_dir)}_{uuid.uuid4().hex[:8]}"
+        f"ssl_src_{os.path.basename(sf_dir)}_{uuid.uuid4().hex[:8]}",
+        ephemeral=True,
     )
     ev = t(spark, sf_dir, "events").select(
         "event_id", "user_id", "event_type", "ts"
@@ -546,7 +565,8 @@ def pipeline_stream_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["event_type", "weight"],
     )
     out_dir = _scratch(
-        f"pse2e_out_{os.path.basename(sf_dir)}_{uuid.uuid4().hex[:8]}"
+        f"pse2e_out_{os.path.basename(sf_dir)}_{uuid.uuid4().hex[:8]}",
+        ephemeral=True,
     )
 
     ev = _events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
@@ -753,7 +773,8 @@ def stream_sessionize_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     import time as _time
 
     src_dir = _scratch(
-        f"sessionize_state_src_{os.path.basename(sf_dir)}_{uuid.uuid4().hex[:8]}"
+        f"sessionize_state_src_{os.path.basename(sf_dir)}_{uuid.uuid4().hex[:8]}",
+        ephemeral=True,
     )
     ev = t(spark, sf_dir, "events").select(
         "user_id",
@@ -842,6 +863,15 @@ def _sessionize_run_stateful(spark: SparkSession, src_dir: str, schema) -> DataF
                 }
             )
 
+    # SESSION-GLOBAL swap, restored in the finally: streaming state-
+    # store partition count is fixed by spark.sql.shuffle.partitions at
+    # checkpoint creation (there is no per-query override for it), and
+    # 32 state partitions over this feed's key cardinality wastes more
+    # in per-partition store overhead than it buys. Any query PLANNED
+    # concurrently in this SparkSession during the swap would silently
+    # inherit 8 — the operator assumes the single-threaded session the
+    # driver/bench/pytest harnesses all use. A production deployment
+    # sets the conf once at stream launch instead.
     old_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
@@ -863,7 +893,14 @@ def _sessionize_run_stateful(spark: SparkSession, src_dir: str, schema) -> DataF
             outputMode="update",
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
+        # sibling of the (ephemeral) uuid feed dir — same lifetime; the
+        # end-of-feed statestore read below consumes it LAZILY, so
+        # cleanup must wait for atexit, not the end of this function
         ckpt = src_dir + "_ckpt"
+        import atexit as _atexit
+        import shutil as _shutil
+
+        _atexit.register(_shutil.rmtree, ckpt, ignore_errors=True)
         name = f"sink_{uuid.uuid4().hex[:12]}"
         q = (
             updates.writeStream.outputMode("update")

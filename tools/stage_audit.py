@@ -48,7 +48,10 @@ def stage_rows(log_dir: str) -> list[tuple[float, int, int]]:
                 .splitlines()
             )
         else:
-            lines = open(f, errors="ignore")
+            # with-block: the audit loops over many ids in one process,
+            # so an unclosed handle per file is a real fd leak
+            with open(f, errors="ignore") as fh:
+                lines = fh.readlines()
         for line in lines:
             try:
                 ev = json.loads(line)
