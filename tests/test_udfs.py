@@ -16,8 +16,12 @@ def test_udf_window_agg_refuses_production_volume(spark, monkeypatch):
         def count(self):
             return 1_000_001
 
+        def select(self, *a, **k):
+            return self
+
     monkeypatch.setattr(mod, "t", lambda *a, **k: FakeCount())
-    # sf_dir with no orders.parquet => the O(1) footer proxy is
-    # unavailable and the guard falls back to the table count
+    # the guard reads the shared tables.approx_rows proxy (as imported
+    # into the operator module) — fake it past the threshold
+    monkeypatch.setattr(mod, "approx_rows", lambda *a, **k: 1_000_001)
     with pytest.raises(ValueError, match="udf_window_agg_fast"):
         mod.udf_window_agg(spark, "/nonexistent_sf_dir")

@@ -242,6 +242,51 @@ def gen_tpch_shape(mult: int, rng: np.random.Generator):
     return part, orders, lineitem
 
 
+def gen_graph_edges(mult: int, rng: np.random.Generator):
+    """Edges-only tpch shape (l_orderkey/l_partkey + o_orderkey/
+    o_custkey) — the minimal columns the graph family reads — fully
+    vectorized so mult=100 is practical (gen_tpch_shape's per-basket
+    redraw loop is Python-per-order and stops at ~10x).
+
+    Same scaling contract as gen_tpch_shape: basket histogram fixed,
+    part/customer key spaces grown mult×, so per-part degree stays
+    ~constant and co-purchase edges grow ~linearly. Within-basket
+    duplicate parts are DROPPED instead of redrawn (collision odds per
+    basket ≈ size²/2·n_part ≈ 4e-6 at mult=100 — statistically
+    invisible, and dropping is a single vectorized unique on the
+    composite key instead of a 15M-iteration Python loop)."""
+    n_part = 20_000 * mult
+    n_ord = 150_000 * mult
+    n_cust = 15_000 * mult
+
+    orders = pa.table(
+        {
+            "o_orderkey": pa.array(np.arange(n_ord), pa.int64()),
+            "o_custkey": pa.array(
+                rng.integers(0, n_cust, size=n_ord), pa.int64()
+            ),
+        }
+    )
+
+    sizes_v = np.array(list(_BASKET_HIST.keys()))
+    sizes_p = np.array(list(_BASKET_HIST.values()), dtype=np.float64)
+    sizes_p /= sizes_p.sum()
+    basket = rng.choice(sizes_v, size=n_ord, p=sizes_p)
+    n_li = int(basket.sum())
+    l_ok = np.repeat(np.arange(n_ord), basket)
+    l_pk = rng.integers(0, n_part, size=n_li)
+    # vectorized within-basket dedup: unique composite (order, part)
+    key = l_ok * np.int64(n_part) + l_pk
+    keep = np.sort(np.unique(key, return_index=True)[1])
+    lineitem = pa.table(
+        {
+            "l_orderkey": pa.array(l_ok[keep], pa.int64()),
+            "l_partkey": pa.array(l_pk[keep], pa.int64()),
+        }
+    )
+    return orders, lineitem
+
+
 def gen_events(mult: int, rng: np.random.Generator) -> pa.Table:
     n = 100_000 * mult
     t0 = np.datetime64("2024-01-01", "us").astype(np.int64)
@@ -330,6 +375,13 @@ def main() -> None:
         "past mult=10 — used for the mult=100 corpus-scaling decade)",
     )
     ap.add_argument(
+        "--graph-only",
+        action="store_true",
+        help="only the edges-only orders/lineitem pair (vectorized, "
+        "practical at mult=100) — extends the two-decade scaling table "
+        "to the graph family (triangle/bipartite/degree-hist)",
+    )
+    ap.add_argument(
         "--events-only",
         action="store_true",
         help="only the events table (fully vectorized — practical at "
@@ -339,6 +391,15 @@ def main() -> None:
     args = ap.parse_args()
     rng = np.random.default_rng(42)
     os.makedirs(args.out, exist_ok=True)
+    if args.graph_only:
+        orders, lineitem = gen_graph_edges(args.mult, rng)
+        pq.write_table(orders, os.path.join(args.out, "orders.parquet"))
+        pq.write_table(lineitem, os.path.join(args.out, "lineitem.parquet"))
+        print(
+            f"wrote {orders.num_rows} orders, {lineitem.num_rows} "
+            f"lineitem (edges-only) -> {args.out}"
+        )
+        return
     if args.events_only:
         ev = gen_events(args.mult, rng)
         pq.write_table(ev, os.path.join(args.out, "events.parquet"))
