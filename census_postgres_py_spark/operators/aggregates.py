@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from census_postgres_py_spark.registry import register
-from census_postgres_py_spark.tables import register_views, t
+from census_postgres_py_spark.tables import gated_broadcast, register_views, t
 
 EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
@@ -848,7 +848,7 @@ def agg_topn_others(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = t(spark, sf_dir, "lineitem").select("l_partkey", "l_extendedprice")
     p = t(spark, sf_dir, "part").select("p_partkey", "p_brand")
     rev = (
-        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        li.join(gated_broadcast(spark, sf_dir, "part", p), li["l_partkey"] == p["p_partkey"])
         .groupBy("p_brand")
         .agg(F.sum("l_extendedprice").alias("rev"))
     )

@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from census_postgres_py_spark.registry import register
-from census_postgres_py_spark.tables import t
+from census_postgres_py_spark.tables import gated_broadcast, t
 
 _SESSION_GAP_MIN = 30
 
@@ -1383,7 +1383,8 @@ def pipeline_warehouse_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     state = cdc_apply(spark, sf_dir)
     c = t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     joined = state.join(
-        F.broadcast(c), state["o_custkey"] == c["c_custkey"]
+        gated_broadcast(spark, sf_dir, "customer", c),
+        state["o_custkey"] == c["c_custkey"],
     )
     return joined.groupBy(F.col("c_mktsegment").alias("segment")).agg(
         F.count("*").cast("long").alias("n_customers"),

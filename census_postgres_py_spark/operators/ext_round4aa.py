@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from census_postgres_py_spark.registry import register
-from census_postgres_py_spark.tables import t
+from census_postgres_py_spark.tables import gated_broadcast, t
 
 
 # ---------------------------------------------------------------------------
@@ -95,7 +95,8 @@ def pipeline_feature_store_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cust = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     return feats.join(
-        F.broadcast(cust), feats["cust"] == cust["c_custkey"]
+        gated_broadcast(spark, sf_dir, "customer", cust),
+        feats["cust"] == cust["c_custkey"],
     ).select(
         "c_custkey",
         "c_nationkey",

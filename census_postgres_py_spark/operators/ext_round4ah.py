@@ -23,7 +23,7 @@ from pyspark.sql.window import Window
 
 from census_postgres_py_spark.functions.text import tokens
 from census_postgres_py_spark.registry import register
-from census_postgres_py_spark.tables import t
+from census_postgres_py_spark.tables import gated_broadcast, t
 
 _D38 = "decimal(38,0)"
 
@@ -292,8 +292,9 @@ def agg_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
     bm = (
         t(spark, sf_dir, "lineitem")
         .join(
-            F.broadcast(
-                t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+            gated_broadcast(
+                spark, sf_dir, "part",
+                t(spark, sf_dir, "part").select("p_partkey", "p_brand"),
             ),
             F.col("l_partkey") == F.col("p_partkey"),
         )

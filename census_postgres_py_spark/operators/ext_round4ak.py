@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from census_postgres_py_spark.registry import register
-from census_postgres_py_spark.tables import t
+from census_postgres_py_spark.tables import gated_broadcast, t
 
 _D38 = "decimal(38,0)"
 
@@ -126,8 +126,9 @@ def join_returns_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(
-            F.broadcast(
-                t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+            gated_broadcast(
+                spark, sf_dir, "part",
+                t(spark, sf_dir, "part").select("p_partkey", "p_brand"),
             ),
             F.col("l_partkey") == F.col("p_partkey"),
         )

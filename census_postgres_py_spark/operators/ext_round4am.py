@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from census_postgres_py_spark.registry import register
-from census_postgres_py_spark.tables import t
+from census_postgres_py_spark.tables import gated_broadcast, t
 
 _D38 = "decimal(38,0)"
 
@@ -69,8 +69,9 @@ def agg_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = (
         t(spark, sf_dir, "lineitem")
         .join(
-            F.broadcast(
-                t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+            gated_broadcast(
+                spark, sf_dir, "part",
+                t(spark, sf_dir, "part").select("p_partkey", "p_brand"),
             ),
             F.col("l_partkey") == F.col("p_partkey"),
         )

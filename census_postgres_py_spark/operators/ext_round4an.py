@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from census_postgres_py_spark.registry import register
-from census_postgres_py_spark.tables import t
+from census_postgres_py_spark.tables import gated_broadcast, t
 
 _D38 = "decimal(38,0)"
 _CUT_YEAR = 1998  # DiD treatment period starts here
@@ -79,8 +79,9 @@ def agg_did_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells = (
         t(spark, sf_dir, "lineitem")
         .join(
-            F.broadcast(
-                t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+            gated_broadcast(
+                spark, sf_dir, "part",
+                t(spark, sf_dir, "part").select("p_partkey", "p_brand"),
             ),
             F.col("l_partkey") == F.col("p_partkey"),
         )
@@ -187,10 +188,11 @@ def agg_simpson_flip(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = (
         t(spark, sf_dir, "orders")
         .join(
-            F.broadcast(
+            gated_broadcast(
+                spark, sf_dir, "customer",
                 t(spark, sf_dir, "customer").select(
                     "c_custkey", "c_nationkey", "c_acctbal"
-                )
+                ),
             ),
             F.col("o_custkey") == F.col("c_custkey"),
         )

@@ -30,7 +30,7 @@ from pyspark.sql.window import Window
 
 from census_postgres_py_spark.functions.text import tokens
 from census_postgres_py_spark.registry import register
-from census_postgres_py_spark.tables import t
+from census_postgres_py_spark.tables import gated_broadcast, t
 
 
 def _half_up_ppm(num, den):
@@ -90,7 +90,7 @@ def agg_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     part = t(spark, sf_dir, "part").select("p_partkey", "p_brand")
     b = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(gated_broadcast(spark, sf_dir, "part", part), li.l_partkey == part.p_partkey)
         .select(F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("brand"))
         .distinct()
     )

@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from census_postgres_py_spark.registry import register
-from census_postgres_py_spark.tables import t
+from census_postgres_py_spark.tables import gated_broadcast, t
 
 
 def _cents(c):
@@ -92,7 +92,7 @@ def join_bridge_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        alloc.join(F.broadcast(part), alloc.l_partkey == part.p_partkey)
+        alloc.join(gated_broadcast(spark, sf_dir, "part", part), alloc.l_partkey == part.p_partkey)
         .groupBy("p_brand")
         .agg(
             F.count("*").cast("long").alias("n_lines"),

@@ -19,7 +19,7 @@ from pyspark.sql.window import Window
 
 from census_postgres_py_spark.functions.text import tokens
 from census_postgres_py_spark.registry import register
-from census_postgres_py_spark.tables import t
+from census_postgres_py_spark.tables import gated_broadcast, t
 
 
 def _cents(c):
@@ -138,7 +138,7 @@ def win_rank_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     part = t(spark, sf_dir, "part").select("p_partkey", "p_brand")
     bw = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(gated_broadcast(spark, sf_dir, "part", part), li.l_partkey == part.p_partkey)
         .groupBy(
             F.date_trunc("week", "l_shipdate").alias("wk"), "p_brand"
         )

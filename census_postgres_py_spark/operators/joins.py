@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from census_postgres_py_spark.registry import register
-from census_postgres_py_spark.tables import t
+from census_postgres_py_spark.tables import gated_broadcast, t
 
 
 @register(
@@ -55,7 +55,7 @@ def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = t(spark, sf_dir, "lineitem")
     p = t(spark, sf_dir, "part").select("p_partkey", "p_brand")
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(gated_broadcast(spark, sf_dir, "part", p), li.l_partkey == p.p_partkey)
         .groupBy("p_brand")
         .agg(
             F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
@@ -109,7 +109,7 @@ def join_multiway_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = t(spark, sf_dir, "region")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(gated_broadcast(spark, sf_dir, "customer", c), o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("r_name", F.year("o_orderdate").cast("long").alias("o_year"))
@@ -578,7 +578,10 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("bloom")
     )
     return (
-        pre.join(F.broadcast(dim), pre["l_orderkey"] == dim["o_orderkey"])
+        pre.join(
+            gated_broadcast(spark, sf_dir, "orders", dim),
+            pre["l_orderkey"] == dim["o_orderkey"],
+        )
         .groupBy("l_orderkey", "o_totalprice")
         .agg(
             F.sum("l_quantity").cast("long").alias("sum_qty"),

@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from census_postgres_py_spark.registry import register
-from census_postgres_py_spark.tables import t
+from census_postgres_py_spark.tables import gated_broadcast, t
 
 
 @register(
@@ -424,7 +424,7 @@ def win_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
     c = t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     seg = (
-        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        o.join(gated_broadcast(spark, sf_dir, "customer", c), o["o_custkey"] == c["c_custkey"])
         .groupBy("c_mktsegment")
         .agg(F.sum("o_totalprice").alias("seg_rev"))
     )

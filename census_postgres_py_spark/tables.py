@@ -90,6 +90,36 @@ def approx_rows(
         return t(spark, sf_dir, name).count()
 
 
+#: Gate for broadcast hints on frames derived from SCALE-GROWING
+#: tables (part, customer, filtered orders — everything except the
+#: fixed-cardinality BROADCAST_DIMS): at fixture scale the hint is
+#: right (per-executor hash relation beats a shuffle of the fact
+#: side), but the hint OVERRIDES Spark's size check, so at 100 TB an
+#: unconditional hint would force an executor-memory-scale build.
+#: 8M rows of a 2-3 column projection ≈ 200-400 MB — the practical
+#: single-executor ceiling. Above the gate the hint is dropped and the
+#: planner/AQE picks the strategy from real stats (which may STILL be
+#: broadcast when a selective filter makes the side genuinely small).
+BROADCAST_DIM_CONF = "spark.census.broadcastDimMaxRows"
+_BROADCAST_DIM_MAX_ROWS = 8_000_000
+
+
+def gated_broadcast(
+    spark: SparkSession, sf_dir: str, table: str, df: DataFrame
+) -> DataFrame:
+    """Broadcast-hint ``df`` (a projection/derivation of fixture table
+    ``table``) only while the table's O(1) footer row count is under
+    ``spark.census.broadcastDimMaxRows``; otherwise return ``df``
+    un-hinted. The row count of the UNDERLYING table is a conservative
+    upper bound for any derivation of it."""
+    limit = int(
+        spark.conf.get(BROADCAST_DIM_CONF, str(_BROADCAST_DIM_MAX_ROWS))
+    )
+    if approx_rows(spark, sf_dir, table) <= limit:
+        return F.broadcast(df)
+    return df
+
+
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: t(spark, sf_dir, name) for name in TABLE_NAMES}
 

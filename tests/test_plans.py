@@ -195,6 +195,51 @@ def test_triangle_adjacency_broadcast_gate_both_modes(spark, queries):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
 
 
+@pytest.mark.parametrize(
+    "qid",
+    ["win_share_of_total", "agg_topn_others", "join_multiway_star"],
+)
+def test_dim_broadcast_gate_both_modes(spark, queries, qid):
+    """Every broadcast hint on a frame derived from a SCALE-GROWING
+    table (part/customer/filtered orders) goes through
+    tables.gated_broadcast: at fixture scale the hint plans a
+    BroadcastHashJoin; with spark.census.broadcastDimMaxRows forced to
+    0 (simulating a 100 TB table) the hint is dropped and the join
+    degrades to a shuffled strategy — never a nested-loop — with a
+    bit-identical answer. Fixed-cardinality dims (region/nation) keep
+    their unconditional hints, so the star join still shows ≥1
+    BroadcastHashJoin even with the gate closed."""
+    from census_postgres_py_spark.tables import BROADCAST_DIM_CONF
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        hinted = queries[qid](spark, SF_SMOKE)
+        plan_hinted = _plan(hinted)
+        assert "BroadcastHashJoin" in plan_hinted, plan_hinted
+
+        spark.conf.set(BROADCAST_DIM_CONF, "0")
+        shuffled = queries[qid](spark, SF_SMOKE)
+        plan_shuffled = _plan(shuffled)
+        assert "BroadcastNestedLoopJoin" not in plan_shuffled
+        assert "CartesianProduct" not in plan_shuffled
+        assert (
+            plan_shuffled.count("SortMergeJoin")
+            + plan_shuffled.count("ShuffledHashJoin")
+            >= 1
+        ), plan_shuffled
+        if qid == "join_multiway_star":
+            # region/nation are NOT gated — their hints must survive
+            assert "BroadcastHashJoin" in plan_shuffled, plan_shuffled
+        else:
+            assert "BroadcastHashJoin" not in plan_shuffled, plan_shuffled
+        assert sorted(map(tuple, hinted.collect())) == sorted(
+            map(tuple, shuffled.collect())
+        )
+    finally:
+        spark.conf.unset(BROADCAST_DIM_CONF)
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
 def test_null_safe_join_stays_hash_join(spark, queries):
     """eqNullSafe must remain an equi hash-join key - a fallback to
     BroadcastNestedLoopJoin would be quadratic at scale."""
