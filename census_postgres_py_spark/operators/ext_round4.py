@@ -828,13 +828,18 @@ def dq_fk_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = t(spark, sf_dir, "part")
     c = t(spark, sf_dir, "customer")
 
-    def edge(fact: DataFrame, fk: str, dim: DataFrame, pk: str, name: str):
+    def edge(
+        fact: DataFrame, fk: str, dim: DataFrame, pk: str, name: str,
+        dim_table: str,
+    ):
+        # dim key sets are table-row-scale (orders/part/customer), so
+        # the hint is gated like every other fact-scale broadcast
         keys = dim.select(F.col(pk).alias("k")).distinct().withColumn(
             "hit", F.lit(1)
         )
         return (
             fact.select(F.col(fk).alias("k"))
-            .join(F.broadcast(keys), "k", "left")
+            .join(gated_broadcast(spark, sf_dir, dim_table, keys), "k", "left")
             .agg(
                 F.count("*").cast("long").alias("n_checked"),
                 F.sum(F.when(F.col("hit").isNull(), 1).otherwise(0))
@@ -845,10 +850,12 @@ def dq_fk_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return (
-        edge(li, "l_orderkey", o, "o_orderkey", "lineitem->orders")
-        .unionByName(edge(li, "l_partkey", p, "p_partkey", "lineitem->part"))
+        edge(li, "l_orderkey", o, "o_orderkey", "lineitem->orders", "orders")
         .unionByName(
-            edge(o, "o_custkey", c, "c_custkey", "orders->customer")
+            edge(li, "l_partkey", p, "p_partkey", "lineitem->part", "part")
+        )
+        .unionByName(
+            edge(o, "o_custkey", c, "c_custkey", "orders->customer", "customer")
         )
     )
 

@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from census_postgres_py_spark.registry import register
-from census_postgres_py_spark.tables import t
+from census_postgres_py_spark.tables import gated_broadcast, t
 
 _D38 = "decimal(38,0)"
 
@@ -296,7 +296,9 @@ def join_bipartite_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("dc") <= _MAX_PART_DEGREE)
         .select("part")
     )
-    kept = cp.join(F.broadcast(deg), "part")
+    # deg is part-cardinality-sized — fact-scale, so gated like
+    # every other part-derived hint (tables.gated_broadcast)
+    kept = cp.join(gated_broadcast(spark, sf_dir, "part", deg), "part")
     a = kept.alias("a")
     b = kept.alias("b")
     return (

@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from census_postgres_py_spark.registry import register
-from census_postgres_py_spark.tables import t
+from census_postgres_py_spark.tables import gated_broadcast, t
 
 _D38 = "decimal(38,0)"
 
@@ -98,8 +98,11 @@ def agg_price_index_laspeyres(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("qty").alias("q0"),
         )
     )
+    # base is part-cardinality-sized (parts present in the base
+    # month) — fact-scale, so the hint is gated
     matched = pm.join(
-        F.broadcast(base), pm["part"] == F.col("bpart")
+        gated_broadcast(spark, sf_dir, "part", base),
+        pm["part"] == F.col("bpart"),
     ).select(
         "m",
         F.floor(
