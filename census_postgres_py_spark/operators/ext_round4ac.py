@@ -23,7 +23,7 @@ from pyspark.sql.window import Window
 
 from census_postgres_py_spark.functions.text import tokens
 from census_postgres_py_spark.registry import register
-from census_postgres_py_spark.tables import t
+from census_postgres_py_spark.tables import gated_broadcast, t
 
 _D38 = "decimal(38,0)"
 
@@ -210,7 +210,9 @@ def dedup_tfidf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     dfreq = tf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
     nd = docs.agg(F.count("*").cast("double").alias("n"))
     cells = (
-        tf.join(F.broadcast(dfreq), "term")
+        # dfreq/maxw are vocabulary-scale (grows with the corpus via
+        # Heaps' law) — gated like every fact-scale hint
+        tf.join(gated_broadcast(spark, sf_dir, "documents", dfreq), "term")
         .crossJoin(F.broadcast(nd))
         .select(
             "doc_id",
@@ -257,7 +259,7 @@ def dedup_tfidf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     )
     flagged = (
-        nhat.join(F.broadcast(maxw), "term")
+        nhat.join(gated_broadcast(spark, sf_dir, "documents", maxw), "term")
         .withColumn("pot", F.col("xhat") * F.col("maxw"))
         .withColumn("tail_pot", F.sum("pot").over(w_tail))
         .withColumn("in_prefix", F.col("tail_pot") >= _COS_TH - 1e-9)

@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 
 from census_postgres_py_spark.functions.text import normalized, tokens
 from census_postgres_py_spark.registry import register
-from census_postgres_py_spark.tables import t
+from census_postgres_py_spark.tables import gated_broadcast, t
 
 STOPWORDS = ("the", "a", "of", "and", "to")
 # BPE-ish lexer: word pieces, digit runs, single non-space symbols
@@ -219,7 +219,8 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     score = F.col("tf") * F.log(F.col("nd") / F.col("df"))
     w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("term"))
     return (
-        tf.join(F.broadcast(dfreq), "term")
+        # dfreq is vocabulary-scale — gated (grows with the corpus)
+        tf.join(gated_broadcast(spark, sf_dir, "documents", dfreq), "term")
         .crossJoin(F.broadcast(nd))
         .withColumn("score", score)
         .withColumn("rn", F.row_number().over(w).cast("long"))
