@@ -282,6 +282,11 @@ def gen_graph_edges(mult: int, rng: np.random.Generator):
         {
             "l_orderkey": pa.array(l_ok[keep], pa.int64()),
             "l_partkey": pa.array(l_pk[keep], pa.int64()),
+            # supplier key space also grows mult x (per-supplier degree
+            # ~constant) so the supplier-part graph family scales too
+            "l_suppkey": pa.array(
+                rng.integers(0, 1_000 * mult, size=len(keep)), pa.int64()
+            ),
         }
     )
     return orders, lineitem
