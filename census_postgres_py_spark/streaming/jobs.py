@@ -772,9 +772,16 @@ def stream_sessionize_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import time as _time
 
+    # Feed DATA is marker-cached per sf_dir (the materialize-once class,
+    # like _events_stream): file contents and their forced chronological
+    # mtimes are call-invariant, so rebuilding them per call was pure
+    # write churn (wall time is dominated by the micro-batches +
+    # statestore, measured unchanged at ~5.5s warm — this is a scratch-
+    # IO/hygiene win, not a latency one). The CHECKPOINT cannot be
+    # cached — a reused file-source checkpoint marks the feed consumed
+    # and the rerun would emit nothing — so it stays uuid-fresh per run.
     src_dir = _scratch(
-        f"sessionize_state_src_{os.path.basename(sf_dir)}_{uuid.uuid4().hex[:8]}",
-        ephemeral=True,
+        f"sessionize_state_src_{os.path.basename(sf_dir)}"
     )
     ev = t(spark, sf_dir, "events").select(
         "user_id",
@@ -782,17 +789,34 @@ def stream_sessionize_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_millis(F.col("ts")).alias("ts_ms"),
         "event_id",
     )
-    # chronological chunk files => micro-batches arrive in event-time
-    # order with only intra-batch disorder (< the watermark delay)
-    ev.repartitionByRange(3, "ts_ms").write.mode("overwrite").parquet(src_dir)
-    parts = sorted(p for p in os.listdir(src_dir) if p.startswith("part-"))
-    base_mtime = _time.time() - 3600
-    for i, p in enumerate(parts):
-        os.utime(os.path.join(src_dir, p), (base_mtime + 10 * i, base_mtime + 10 * i))
-    return _sessionize_run_stateful(spark, src_dir, ev.schema)
+    marker = os.path.join(src_dir, "_FEED_READY")
+    if not os.path.exists(marker):
+        # chronological chunk files => micro-batches arrive in
+        # event-time order with only intra-batch disorder (< the
+        # watermark delay)
+        ev.repartitionByRange(3, "ts_ms").write.mode("overwrite").parquet(
+            src_dir
+        )
+        parts = sorted(
+            p for p in os.listdir(src_dir) if p.startswith("part-")
+        )
+        base_mtime = _time.time() - 3600
+        for i, p in enumerate(parts):
+            os.utime(
+                os.path.join(src_dir, p),
+                (base_mtime + 10 * i, base_mtime + 10 * i),
+            )
+        open(marker, "w").close()
+    ckpt = _scratch(
+        f"sessionize_ckpt_{os.path.basename(sf_dir)}_{uuid.uuid4().hex[:8]}",
+        ephemeral=True,
+    )
+    return _sessionize_run_stateful(spark, src_dir, ev.schema, ckpt=ckpt)
 
 
-def _sessionize_run_stateful(spark: SparkSession, src_dir: str, schema) -> DataFrame:
+def _sessionize_run_stateful(
+    spark: SparkSession, src_dir: str, schema, ckpt: str | None = None
+) -> DataFrame:
     """The bounded-state stateful core: watermarked file stream over
     ``src_dir`` (columns user_id, ts, ts_ms, event_id; one file per
     micro-batch, oldest mtime first) → per-user open-session-tail state
@@ -893,14 +917,16 @@ def _sessionize_run_stateful(spark: SparkSession, src_dir: str, schema) -> DataF
             outputMode="update",
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
-        # sibling of the (ephemeral) uuid feed dir — same lifetime; the
-        # end-of-feed statestore read below consumes it LAZILY, so
-        # cleanup must wait for atexit, not the end of this function
-        ckpt = src_dir + "_ckpt"
-        import atexit as _atexit
-        import shutil as _shutil
+        # per-RUN checkpoint (callers pass a fresh ephemeral dir; the
+        # src_dir-sibling default serves uuid-feed callers like the
+        # late-event test); the end-of-feed statestore read below
+        # consumes it LAZILY, so cleanup must wait for atexit
+        if ckpt is None:
+            ckpt = src_dir + "_ckpt"
+            import atexit as _atexit
+            import shutil as _shutil
 
-        _atexit.register(_shutil.rmtree, ckpt, ignore_errors=True)
+            _atexit.register(_shutil.rmtree, ckpt, ignore_errors=True)
         name = f"sink_{uuid.uuid4().hex[:12]}"
         q = (
             updates.writeStream.outputMode("update")
