@@ -140,8 +140,14 @@ def stream_dedup_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = t(spark, sf_dir, "events").select(
         "event_id", "event_type", "user_id", "ts"
     )
-    ev.coalesce(1).write.mode("overwrite").parquet(src_dir)
-    ev.coalesce(1).write.mode("append").parquet(src_dir)
+    # materialize-once (marker pattern): the two-copy redelivery feed
+    # is call-invariant; _run_to_memory uses a fresh implicit
+    # checkpoint per run, so a cached feed replays fully
+    marker = os.path.join(src_dir, "_FEED_READY")
+    if not os.path.exists(marker):
+        ev.coalesce(1).write.mode("overwrite").parquet(src_dir)
+        ev.coalesce(1).write.mode("append").parquet(src_dir)
+        open(marker, "w").close()
 
     stream = (
         spark.readStream.schema(ev.schema)
