@@ -292,6 +292,40 @@ def gen_graph_edges(mult: int, rng: np.random.Generator):
     return orders, lineitem
 
 
+def gen_skew(mult: int, rng: np.random.Generator):
+    """Hot-key join stress: orders with HALF of all rows on ONE
+    custkey (a ~32x-over-average reducer partition at 32 shuffle
+    partitions) + the matching customer dim — the corpus for the
+    salted-join / AQE-skew-split A/B. Fully vectorized."""
+    n_ord = 150_000 * mult
+    n_cust = 15_000 * mult
+    hot = n_ord // 2
+    ck = np.concatenate(
+        [np.zeros(hot, np.int64), rng.integers(1, n_cust, size=n_ord - hot)]
+    )
+    rng.shuffle(ck)
+    orders = pa.table(
+        {
+            "o_orderkey": pa.array(np.arange(n_ord), pa.int64()),
+            "o_custkey": pa.array(ck, pa.int64()),
+            "o_totalprice": pa.array(
+                np.round(rng.uniform(1000, 500000, size=n_ord), 2),
+                pa.float64(),
+            ),
+        }
+    )
+    seg = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+    customer = pa.table(
+        {
+            "c_custkey": pa.array(np.arange(n_cust), pa.int64()),
+            "c_mktsegment": pa.array(
+                [seg[i % 5] for i in range(n_cust)], pa.string()
+            ),
+        }
+    )
+    return orders, customer
+
+
 def gen_events(mult: int, rng: np.random.Generator) -> pa.Table:
     n = 100_000 * mult
     t0 = np.datetime64("2024-01-01", "us").astype(np.int64)
@@ -387,6 +421,12 @@ def main() -> None:
         "to the graph family (triangle/bipartite/degree-hist)",
     )
     ap.add_argument(
+        "--skew-only",
+        action="store_true",
+        help="only the hot-key orders/customer pair (half of all orders "
+        "on one custkey) for the salted-join vs AQE-skew-split A/B",
+    )
+    ap.add_argument(
         "--events-only",
         action="store_true",
         help="only the events table (fully vectorized — practical at "
@@ -403,6 +443,15 @@ def main() -> None:
         print(
             f"wrote {orders.num_rows} orders, {lineitem.num_rows} "
             f"lineitem (edges-only) -> {args.out}"
+        )
+        return
+    if args.skew_only:
+        orders, customer = gen_skew(args.mult, rng)
+        pq.write_table(orders, os.path.join(args.out, "orders.parquet"))
+        pq.write_table(customer, os.path.join(args.out, "customer.parquet"))
+        print(
+            f"wrote {orders.num_rows} orders (half on one custkey), "
+            f"{customer.num_rows} customer -> {args.out}"
         )
         return
     if args.events_only:
