@@ -239,8 +239,13 @@ def stream_custom_state(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     src_dir = _scratch(f"custom_state_src_{os.path.basename(sf_dir)}")
     ev = t(spark, sf_dir, "events").select("user_id", "value")
-    # several part files => several micro-batches => real state reuse
-    ev.repartition(4).write.mode("overwrite").parquet(src_dir)
+    # several part files => several micro-batches => real state reuse;
+    # materialize-once (marker pattern): the memory-sink run uses a
+    # fresh implicit checkpoint per run, so a cached feed replays fully
+    marker = os.path.join(src_dir, "_FEED_READY")
+    if not os.path.exists(marker):
+        ev.repartition(4).write.mode("overwrite").parquet(src_dir)
+        open(marker, "w").close()
 
     def update(key, pdfs, state: GroupState):
         n, total = state.get if state.exists else (0, 0.0)
