@@ -246,3 +246,22 @@ def test_sessionize_state_late_events(spark):
         (8, 1): (100 * m, 1, 0),
         (9, 1): (110 * m, 1, 0),
     }, got
+
+
+def test_cached_feed_ops_are_repeat_call_stable(spark, queries):
+    """The marker-cached streaming feeds (sessionize / dedup_state /
+    custom_state) must return IDENTICAL results on a second call in the
+    same session. This pins the checkpoint-per-run invariant: the feed
+    data may be cached, but a reused file-source CHECKPOINT would mark
+    every feed file consumed and the second run would silently emit
+    nothing — exactly the regression this test exists to catch."""
+    for qid in (
+        "stream_sessionize_state",
+        "stream_dedup_state",
+        "stream_custom_state",
+    ):
+        from tests.conftest import SF_SMOKE
+
+        first = sorted(map(tuple, queries[qid](spark, SF_SMOKE).collect()))
+        second = sorted(map(tuple, queries[qid](spark, SF_SMOKE).collect()))
+        assert first and first == second, qid
