@@ -41,33 +41,26 @@ _LOADED = False
 # exists ONLY so the ~50-id/round sample eventually covers every id —
 # never to steer grading away from any id. The registry is FROZEN at the
 # 355 r4 ids (registry_freeze_r4.json, contract-tested). The queue below
-# is the 107 ids never driver-graded in r2-r6 (complement of the union
-# of CORRECTNESS_r02..r06 keys) in registration order; the r6 rotation
-# (verified by tools/rotate_window.py: CORRECTNESS_r06 keys == the prior
-# queue's first 50, all hash-green incl. the two sanctioned re-grades
-# sink_jdbc/mm_decode_features) deleted that head. Rotation procedure per
-# round: verify the new CORRECTNESS_r0N keys == the first 50 below, then
-# delete them from the front. Schedule: r7 grades the first 50 below,
-# r8 the final 57 -> converged.
+# is the 57 ids never driver-graded in r2-r7 (complement of the union
+# of CORRECTNESS_r02..r07 keys) in registration order; the r7 rotation
+# (verified by tools/rotate_window.py: CORRECTNESS_r07 keys == the prior
+# queue's first 50, all hash-green) deleted that head. Rotation
+# procedure per round: (a) commit the driver's refreshed
+# bench_queries.json (the driver benches AFTER the builder's last
+# commit, so the map lands modified at round open), then (b) verify the
+# new CORRECTNESS_r0N keys == the queue head via tools/rotate_window.py
+# and delete them from the front. Schedule: r8 grades the final 57
+# below -> converged.
 # RETIREMENT (r5 VERDICT item 5, date-stamped in BASELINE.md):
-# after r8 drains the queue, DELETE _WINDOW_PRIORITY entirely so
-# ``queries()`` reverts to plain registration order and r9+ windows
-# re-sample already-graded ids. Operator SEMANTICS never depend on this
-# ordering (contract tests compare key sets only).
+# after r8's CORRECTNESS drains the queue, DELETE _WINDOW_PRIORITY
+# entirely so ``queries()`` reverts to plain registration order and
+# r9+ windows re-sample already-graded ids. CONTINGENCY (r7 VERDICT
+# item 1): the driver has graded exactly 50/round; if CORRECTNESS_r08
+# covers only the first 50 of the 57, hold the last 7 in the queue and
+# slip retirement to the round after the queue actually drains.
+# Operator SEMANTICS never depend on this ordering (contract tests
+# compare key sets only).
 _WINDOW_PRIORITY: tuple[str, ...] = (
-    "join_bridge_allocation", "agg_path_signatures",
-    "transform_mask_deterministic", "transform_target_encode_loo", "win_rank_delta", "dedup_source_mirror",
-    "dq_sequence_gaps", "agg_order_aging", "ts_autocorr", "ts_cusum_changepoint",
-    "win_vwap", "hier_flatten", "graph_triangle_count", "graph_degree_hist",
-    "text_bm25", "text_pmi_bigrams", "text_zipf_slope", "dq_outlier_iqr",
-    "sample_weighted", "win_bollinger", "join_skyline", "ts_active_intervals",
-    "emb_truncation_quality", "agg_growth_accounting", "agg_trimmed_mean", "join_nearest_facility",
-    "agg_ks_statistic", "agg_decile_lift", "win_rolling_corr", "agg_auc_roc",
-    "fn_luhn_checksum", "dq_uniqueness_profile", "ts_periodogram", "transform_winsorize",
-    "hier_rollup_spend", "agg_adstock", "agg_rolling_active_users", "fn_workdays_between",
-    "agg_eb_smoothed_rate", "agg_mann_kendall", "transform_rare_collapse", "win_ohlc_candles",
-    "emb_dedup_sweep", "pipeline_manifest_prune_e2e", "win_rsi", "text_feature_hashing",
-    "agg_dormancy_states", "win_attribution_position", "agg_lorenz_points", "dq_fk_inference",
     "pipeline_feature_store_e2e", "dq_temporal_consistency", "agg_overdispersion", "agg_sprt_decision",
     "emb_centroid_drift", "join_bipartite_projection", "text_prefix_autocomplete", "dedup_tfidf_cosine",
     "dq_coverage_matrix", "agg_price_index_laspeyres", "ts_backlog_value", "agg_seasonal_strength",

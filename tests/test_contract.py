@@ -283,11 +283,10 @@ def test_registry_frozen_at_r4_ids(queries):
 
 def test_window_priority_is_exactly_the_never_graded_ids(queries):
     """The rotation queue must be the complement of the driver-graded
-    union (CORRECTNESS_r02..r06 keys) in registration order — the window
-    exists only to finish coverage, never to steer grading. The r5-
-    sanctioned re-grade head insertion (sink_jdbc/mm_decode_features)
-    was graded hash-green in r6 and rotated out, so the queue is now a
-    pure never-graded complement again."""
+    union (CORRECTNESS_r02..r07 keys) in registration order — the window
+    exists only to finish coverage, never to steer grading. After the
+    r7 rotation the queue holds the final 57 never-graded ids; r8
+    drains it (see registry._WINDOW_PRIORITY's retirement note)."""
     import json
     import os
 
@@ -295,7 +294,7 @@ def test_window_priority_is_exactly_the_never_graded_ids(queries):
 
     root = os.path.dirname(os.path.dirname(__file__))
     graded = set()
-    for n in (2, 3, 4, 5, 6):
+    for n in (2, 3, 4, 5, 6, 7):
         graded |= set(json.load(open(os.path.join(root, f"CORRECTNESS_r0{n}.json"))))
     queue = list(registry._WINDOW_PRIORITY)
     assert set(queue) & graded == set(), sorted(set(queue) & graded)
