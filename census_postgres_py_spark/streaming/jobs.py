@@ -33,14 +33,13 @@ HOUR_MS = 3_600_000
 def _scratch(name: str, ephemeral: bool = False) -> str:
     """Scratch dir under tempdir/cppys_stream.
 
-    ``ephemeral=True`` is for uuid-suffixed per-CALL dirs (feed dirs,
-    foreachBatch outputs, checkpoints): they're atexit-rmtree'd so
-    repeated bench runs don't accumulate scratch. Cleanup can't happen
-    eagerly at the end of the operator — the returned DataFrame reads
-    the memory sink / state-store checkpoint LAZILY, after the operator
-    returns. Marker-cached per-sf_dir dirs (no uuid) stay persistent
-    within tempdir lifetime by design: they're the materialize-once
-    stream sources."""
+    ``ephemeral=True`` is for uuid-suffixed per-CALL dirs (foreachBatch
+    outputs, checkpoints): they're atexit-rmtree'd so repeated bench
+    runs don't accumulate scratch. Cleanup can't happen eagerly at the
+    end of the operator — the returned DataFrame reads the memory sink
+    / state-store checkpoint LAZILY, after the operator returns.
+    Materialize-once stream FEEDS go through ``_cached_feed`` instead
+    (fingerprint-validated, atomically swapped)."""
     base = os.path.join(tempfile.gettempdir(), "cppys_stream", name)
     os.makedirs(base, exist_ok=True)
     if ephemeral:
@@ -49,6 +48,84 @@ def _scratch(name: str, ephemeral: bool = False) -> str:
 
         atexit.register(shutil.rmtree, base, ignore_errors=True)
     return base
+
+
+def _fixture_fingerprint(sf_dir: str, table: str = "events") -> str:
+    """Identity of a feed's source fixture: the absolute
+    ``<sf_dir>/<table>.parquet`` path plus every file's (size,
+    mtime_ns). Regenerating the fixture in place, or a different
+    sf_dir that happens to share a basename, changes the fingerprint
+    and invalidates the cached feed instead of silently replaying a
+    stale one that diverges from the batch oracle."""
+    import hashlib
+
+    path = os.path.join(os.path.abspath(sf_dir), f"{table}.parquet")
+    stats: list[tuple[str, int, int]] = []
+    if os.path.isdir(path):
+        for root, _dirs, files in os.walk(path):
+            for fname in sorted(files):
+                fpath = os.path.join(root, fname)
+                st = os.stat(fpath)
+                stats.append(
+                    (os.path.relpath(fpath, path), st.st_size, st.st_mtime_ns)
+                )
+    elif os.path.exists(path):
+        st = os.stat(path)
+        stats.append((table, st.st_size, st.st_mtime_ns))
+    return hashlib.sha256(repr((path, sorted(stats))).encode()).hexdigest()[:32]
+
+
+def _cached_feed(name: str, sf_dir: str, build, table: str = "events") -> str:
+    """Materialize-once feed directory, fingerprint-validated and
+    atomically swapped into place. ``build(tmp_dir)`` writes the feed
+    into ``tmp_dir`` (created empty); the helper stamps the source
+    fixture's fingerprint into ``_FEED_READY`` (underscore-prefixed =>
+    invisible to Spark readers) and ``os.rename``s the finished dir
+    into place. Two failure modes this closes:
+
+    - STALENESS: the marker stores ``_fixture_fingerprint`` (abs
+      sf_dir + per-file size/mtime of the fixture), so a regenerated
+      fixture or a basename-colliding sf_dir rebuilds instead of
+      replaying a wrong feed forever.
+    - CROSS-PROCESS RACE: the feed is built in a uuid'd sibling and
+      renamed into place (atomic within one filesystem), so concurrent
+      processes (pytest + the driver) can never interleave partial
+      writes behind the marker; the loser of the swap race discards
+      its build and uses the winner's — same fingerprint, same feed.
+
+    Feed dirs stay persistent within tempdir lifetime by design: they
+    are the materialize-once stream sources (checkpoints, by contrast,
+    must stay uuid-per-run — a reused file-source checkpoint marks the
+    feed consumed and replays NOTHING)."""
+    import shutil
+
+    base = os.path.join(tempfile.gettempdir(), "cppys_stream")
+    os.makedirs(base, exist_ok=True)
+    fp = _fixture_fingerprint(sf_dir, table)
+    final = os.path.join(base, name)
+    marker = os.path.join(final, "_FEED_READY")
+    try:
+        with open(marker) as fh:
+            if fh.read().strip() == fp:
+                return final
+    except OSError:
+        pass
+    tmp = os.path.join(base, f"_{name}.build-{uuid.uuid4().hex[:8]}")
+    os.makedirs(tmp, exist_ok=True)
+    build(tmp)
+    with open(os.path.join(tmp, "_FEED_READY"), "w") as fh:
+        fh.write(fp)
+    stale = os.path.join(base, f"_{name}.stale-{uuid.uuid4().hex[:8]}")
+    try:
+        if os.path.exists(final):
+            os.rename(final, stale)
+        os.rename(tmp, final)
+    except OSError:
+        # Lost the swap race to a concurrent builder whose feed carries
+        # the same fingerprint — use theirs, drop ours.
+        shutil.rmtree(tmp, ignore_errors=True)
+    shutil.rmtree(stale, ignore_errors=True)
+    return final
 
 
 def _events_stream(spark: SparkSession, sf_dir: str, max_files: int | None = None):
@@ -62,11 +139,12 @@ def _events_stream(spark: SparkSession, sf_dir: str, max_files: int | None = Non
     stream tails that directory. On a real deployment this stage IS the
     landing zone: upstream writers drop parquet files in, the stream
     picks them up per micro-batch."""
-    src_dir = _scratch(f"events_src_{os.path.basename(sf_dir)}")
-    marker = os.path.join(src_dir, "_SUCCESS")
     ev = t(spark, sf_dir, "events")
-    if not os.path.exists(marker):
-        ev.write.mode("overwrite").parquet(src_dir)
+    src_dir = _cached_feed(
+        f"events_src_{os.path.basename(sf_dir)}",
+        sf_dir,
+        lambda d: ev.write.mode("overwrite").parquet(d),
+    )
     reader = spark.readStream.schema(ev.schema)
     if max_files is not None:
         reader = reader.option("maxFilesPerTrigger", max_files)
@@ -136,18 +214,20 @@ def stream_dedup_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     here lands in the very next micro-batch, well inside the delay,
     so the dedup is exact for this job while keeping the bounded-state
     operator in the plan."""
-    src_dir = _scratch(f"dedup_src_{os.path.basename(sf_dir)}")
     ev = t(spark, sf_dir, "events").select(
         "event_id", "event_type", "user_id", "ts"
     )
-    # materialize-once (marker pattern): the two-copy redelivery feed
-    # is call-invariant; _run_to_memory uses a fresh implicit
-    # checkpoint per run, so a cached feed replays fully
-    marker = os.path.join(src_dir, "_FEED_READY")
-    if not os.path.exists(marker):
-        ev.coalesce(1).write.mode("overwrite").parquet(src_dir)
-        ev.coalesce(1).write.mode("append").parquet(src_dir)
-        open(marker, "w").close()
+
+    # materialize-once (_cached_feed): the two-copy redelivery feed is
+    # call-invariant; _run_to_memory uses a fresh implicit checkpoint
+    # per run, so a cached feed replays fully
+    def _build(d: str) -> None:
+        ev.coalesce(1).write.mode("overwrite").parquet(d)
+        ev.coalesce(1).write.mode("append").parquet(d)
+
+    src_dir = _cached_feed(
+        f"dedup_src_{os.path.basename(sf_dir)}", sf_dir, _build
+    )
 
     stream = (
         spark.readStream.schema(ev.schema)
@@ -237,15 +317,15 @@ def stream_custom_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-    src_dir = _scratch(f"custom_state_src_{os.path.basename(sf_dir)}")
     ev = t(spark, sf_dir, "events").select("user_id", "value")
     # several part files => several micro-batches => real state reuse;
-    # materialize-once (marker pattern): the memory-sink run uses a
+    # materialize-once (_cached_feed): the memory-sink run uses a
     # fresh implicit checkpoint per run, so a cached feed replays fully
-    marker = os.path.join(src_dir, "_FEED_READY")
-    if not os.path.exists(marker):
-        ev.repartition(4).write.mode("overwrite").parquet(src_dir)
-        open(marker, "w").close()
+    src_dir = _cached_feed(
+        f"custom_state_src_{os.path.basename(sf_dir)}",
+        sf_dir,
+        lambda d: ev.repartition(4).write.mode("overwrite").parquet(d),
+    )
 
     def update(key, pdfs, state: GroupState):
         n, total = state.get if state.exists else (0, 0.0)
@@ -647,18 +727,23 @@ def stream_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql.datasource import DataSource, SimpleDataSourceStreamReader
 
-    path = _scratch(f"pyds_stream_nation_{os.path.basename(sf_dir)}")
     nation = t(spark, sf_dir, "nation").select(
         "n_nationkey", "n_name", "n_regionkey"
     )
-    marker = os.path.join(path, "_DONE")
-    if not os.path.exists(marker):
+
+    def _build(d: str) -> None:
         rows = nation.collect()
         for shard in range(5):
-            with open(os.path.join(path, f"shard_{shard}.csv"), "w") as f:
+            with open(os.path.join(d, f"shard_{shard}.csv"), "w") as f:
                 for r in rows[shard::5]:
                     f.write(f"{r.n_nationkey},{r.n_name},{r.n_regionkey}\n")
-        open(marker, "w").close()
+
+    path = _cached_feed(
+        f"pyds_stream_nation_{os.path.basename(sf_dir)}",
+        sf_dir,
+        _build,
+        table="nation",
+    )
 
     class ShardStreamReader(SimpleDataSourceStreamReader):
         def __init__(self, options: dict) -> None:
@@ -783,41 +868,37 @@ def stream_sessionize_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import time as _time
 
-    # Feed DATA is marker-cached per sf_dir (the materialize-once class,
-    # like _events_stream): file contents and their forced chronological
+    # Feed DATA is cached per sf_dir (the materialize-once class, like
+    # _events_stream): file contents and their forced chronological
     # mtimes are call-invariant, so rebuilding them per call was pure
     # write churn (wall time is dominated by the micro-batches +
     # statestore, measured unchanged at ~5.5s warm — this is a scratch-
     # IO/hygiene win, not a latency one). The CHECKPOINT cannot be
     # cached — a reused file-source checkpoint marks the feed consumed
     # and the rerun would emit nothing — so it stays uuid-fresh per run.
-    src_dir = _scratch(
-        f"sessionize_state_src_{os.path.basename(sf_dir)}"
-    )
     ev = t(spark, sf_dir, "events").select(
         "user_id",
         "ts",
         F.unix_millis(F.col("ts")).alias("ts_ms"),
         "event_id",
     )
-    marker = os.path.join(src_dir, "_FEED_READY")
-    if not os.path.exists(marker):
+
+    def _build(d: str) -> None:
         # chronological chunk files => micro-batches arrive in
         # event-time order with only intra-batch disorder (< the
         # watermark delay)
-        ev.repartitionByRange(3, "ts_ms").write.mode("overwrite").parquet(
-            src_dir
-        )
-        parts = sorted(
-            p for p in os.listdir(src_dir) if p.startswith("part-")
-        )
+        ev.repartitionByRange(3, "ts_ms").write.mode("overwrite").parquet(d)
+        parts = sorted(p for p in os.listdir(d) if p.startswith("part-"))
         base_mtime = _time.time() - 3600
         for i, p in enumerate(parts):
             os.utime(
-                os.path.join(src_dir, p),
+                os.path.join(d, p),
                 (base_mtime + 10 * i, base_mtime + 10 * i),
             )
-        open(marker, "w").close()
+
+    src_dir = _cached_feed(
+        f"sessionize_state_src_{os.path.basename(sf_dir)}", sf_dir, _build
+    )
     ckpt = _scratch(
         f"sessionize_ckpt_{os.path.basename(sf_dir)}_{uuid.uuid4().hex[:8]}",
         ephemeral=True,

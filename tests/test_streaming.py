@@ -265,3 +265,54 @@ def test_cached_feed_ops_are_repeat_call_stable(spark, queries):
         first = sorted(map(tuple, queries[qid](spark, SF_SMOKE).collect()))
         second = sorted(map(tuple, queries[qid](spark, SF_SMOKE).collect()))
         assert first and first == second, qid
+
+
+def test_cached_feed_validates_fingerprint_and_swaps_atomically(tmp_path):
+    """ADVICE r7 (streaming/jobs.py:146): the materialize-once feeds
+    must (a) cache-hit on an unchanged fixture, (b) REBUILD when the
+    fixture is regenerated in place or the marker is stale — not
+    silently replay a wrong feed forever — and (c) never expose a
+    half-built dir (the marker is only ever inside a fully-built dir
+    that was os.rename'd into place)."""
+    import os
+
+    from census_postgres_py_spark.streaming import jobs
+
+    builds = []
+
+    def build(d):
+        builds.append(d)
+        with open(os.path.join(d, "data.csv"), "w") as f:
+            f.write("1\n")
+
+    name = "test_feed_fingerprint"
+    d1 = jobs._cached_feed(name, SF_SMOKE, build)
+    assert len(builds) == 1
+    # the build ran in a sibling tmp dir, then got renamed into place
+    assert builds[0] != d1
+    fp = jobs._fixture_fingerprint(SF_SMOKE)
+    with open(os.path.join(d1, "_FEED_READY")) as f:
+        assert f.read().strip() == fp
+
+    # unchanged fixture => cache hit, no rebuild
+    d2 = jobs._cached_feed(name, SF_SMOKE, build)
+    assert d2 == d1 and len(builds) == 1
+
+    # stale marker (fixture regenerated in place / basename collision
+    # with a different sf_dir) => rebuild, marker restored
+    with open(os.path.join(d1, "_FEED_READY"), "w") as f:
+        f.write("stale-fingerprint")
+    d3 = jobs._cached_feed(name, SF_SMOKE, build)
+    assert len(builds) == 2 and d3 == d1
+    with open(os.path.join(d3, "_FEED_READY")) as f:
+        assert f.read().strip() == fp
+    assert os.path.exists(os.path.join(d3, "data.csv"))
+
+    # a different sf_dir yields a different fingerprint by path alone
+    alt = tmp_path / "sfalt"
+    alt.mkdir()
+    assert jobs._fixture_fingerprint(str(alt)) != fp
+
+    import shutil
+
+    shutil.rmtree(d1, ignore_errors=True)
