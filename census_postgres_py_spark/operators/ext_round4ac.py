@@ -23,7 +23,11 @@ from pyspark.sql.window import Window
 
 from census_postgres_py_spark.functions.text import tokens
 from census_postgres_py_spark.registry import register
-from census_postgres_py_spark.tables import gated_broadcast, t
+from census_postgres_py_spark.tables import (
+    VOCAB_ROWS_PER_DOC,
+    gated_broadcast,
+    t,
+)
 
 _D38 = "decimal(38,0)"
 
@@ -212,7 +216,10 @@ def dedup_tfidf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells = (
         # dfreq/maxw are vocabulary-scale (grows with the corpus via
         # Heaps' law) — gated like every fact-scale hint
-        tf.join(gated_broadcast(spark, sf_dir, "documents", dfreq), "term")
+        tf.join(gated_broadcast(
+            spark, sf_dir, "documents", dfreq,
+            rows_per_source_row=VOCAB_ROWS_PER_DOC,
+        ), "term")
         .crossJoin(F.broadcast(nd))
         .select(
             "doc_id",
@@ -259,7 +266,10 @@ def dedup_tfidf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     )
     flagged = (
-        nhat.join(gated_broadcast(spark, sf_dir, "documents", maxw), "term")
+        nhat.join(gated_broadcast(
+            spark, sf_dir, "documents", maxw,
+            rows_per_source_row=VOCAB_ROWS_PER_DOC,
+        ), "term")
         .withColumn("pot", F.col("xhat") * F.col("maxw"))
         .withColumn("tail_pot", F.sum("pot").over(w_tail))
         .withColumn("in_prefix", F.col("tail_pot") >= _COS_TH - 1e-9)

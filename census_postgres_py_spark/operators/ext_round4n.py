@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from census_postgres_py_spark.registry import register
-from census_postgres_py_spark.tables import approx_rows, t
+from census_postgres_py_spark.tables import t
 
 # graph_triangle_count broadcasts the out-adjacency table (|E| total
 # array elements) to both sides of the edge join — a win while E fits
@@ -188,15 +188,37 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     single integer aggregation. Orientation still bounds list length
     by out-degree (the standard skew guard). The adjacency broadcast
     holds exactly when E itself is broadcastable (it is E, grouped:
-    |E| total array elements) — so it is GATED on an O(1) footer
-    estimate of |E| vs ``spark.census.graph.broadcastAdjMaxEdges``
-    (see _ADJ_BROADCAST_MAX_EDGES); past the cap both adjacency
-    attachments become shuffled hash joins on the node key, keeping
-    the same Θ(wedges) intersect work with shuffle-partition
-    parallelism instead of a per-executor copy of E.
+    |E| total array elements) — so it is GATED on an exact upper
+    bound of |E| vs ``spark.census.graph.broadcastAdjMaxEdges``
+    (see _ADJ_BROADCAST_MAX_EDGES): Σ_orders C(k,2) from ONE
+    combinable count-per-basket aggregation (map-side partial, one
+    long per order shuffled, one scalar collected). The r7 footer
+    heuristic 3·|lineitem| was only valid for baskets of ≤7 lines
+    (Σ C(k,2) ≤ 3k iff k ≤ 7) and UNDER-counted past that — this
+    bound is shape-independent: pair expansion before dedup is
+    exactly Σ C(k,2), and dedup only shrinks it. The agg costs ~¼
+    of the operator's own basket groupBy and is skipped entirely
+    when the conf forces the shuffle path (cap ≤ 0, the escape
+    hatch). Past the cap both adjacency attachments become shuffled
+    hash joins on the node key, keeping the same Θ(wedges) intersect
+    work with shuffle-partition parallelism instead of a
+    per-executor copy of E.
     """
     max_edges = int(spark.conf.get(_ADJ_CONF, str(_ADJ_BROADCAST_MAX_EDGES)))
-    est_edges = 3 * approx_rows(spark, sf_dir, "lineitem")
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    if max_edges > 0:
+        est_edges = int(
+            li.groupBy("l_orderkey")
+            .agg(F.count("*").alias("k"))
+            .agg(
+                F.coalesce(
+                    F.sum(F.expr("k * (k - 1) DIV 2")), F.lit(0)
+                ).alias("w")
+            )
+            .collect()[0][0]
+        )
+    else:
+        est_edges = max_edges + 1  # conf ≤ 0 forces shuffle; skip the agg
     edges = _copurchase_edges(spark, sf_dir)
     adj = edges.groupBy(F.col("pa").alias("node")).agg(
         F.collect_list("pb").alias("nbrs")

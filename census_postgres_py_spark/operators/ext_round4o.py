@@ -20,7 +20,11 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from census_postgres_py_spark.registry import register
-from census_postgres_py_spark.tables import gated_broadcast, t
+from census_postgres_py_spark.tables import (
+    VOCAB_ROWS_PER_DOC,
+    gated_broadcast,
+    t,
+)
 from census_postgres_py_spark.functions.text import tokens
 
 _D38 = "decimal(38,0)"
@@ -123,7 +127,10 @@ def text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     contrib = (
         tf.join(dl, "doc_id")
-        .join(gated_broadcast(spark, sf_dir, "documents", dfreq), "term")
+        .join(gated_broadcast(
+            spark, sf_dir, "documents", dfreq,
+            rows_per_source_row=VOCAB_ROWS_PER_DOC,
+        ), "term")
         .crossJoin(F.broadcast(stats))
         .select(
             "doc_id",

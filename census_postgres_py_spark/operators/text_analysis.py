@@ -14,7 +14,11 @@ from pyspark.sql import functions as F
 
 from census_postgres_py_spark.functions.text import normalized, tokens
 from census_postgres_py_spark.registry import register
-from census_postgres_py_spark.tables import gated_broadcast, t
+from census_postgres_py_spark.tables import (
+    VOCAB_ROWS_PER_DOC,
+    gated_broadcast,
+    t,
+)
 
 STOPWORDS = ("the", "a", "of", "and", "to")
 # BPE-ish lexer: word pieces, digit runs, single non-space symbols
@@ -220,7 +224,10 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("term"))
     return (
         # dfreq is vocabulary-scale — gated (grows with the corpus)
-        tf.join(gated_broadcast(spark, sf_dir, "documents", dfreq), "term")
+        tf.join(gated_broadcast(
+            spark, sf_dir, "documents", dfreq,
+            rows_per_source_row=VOCAB_ROWS_PER_DOC,
+        ), "term")
         .crossJoin(F.broadcast(nd))
         .withColumn("score", score)
         .withColumn("rn", F.row_number().over(w).cast("long"))

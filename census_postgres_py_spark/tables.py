@@ -103,19 +103,43 @@ def approx_rows(
 BROADCAST_DIM_CONF = "spark.census.broadcastDimMaxRows"
 _BROADCAST_DIM_MAX_ROWS = 8_000_000
 
+#: Expansion factor for TERM-level derivations of ``documents``
+#: (dfreq/maxw vocabulary frames in text_tfidf / text_bm25 /
+#: dedup_tfidf_cosine): those frames hold one row per DISTINCT TERM,
+#: and vocabulary cardinality can exceed document count by orders of
+#: magnitude (worst case every token unique => docs × tokens/doc).
+#: 64 distinct terms/doc is the conservative planning bound for the
+#: short-document corpora this engine targets; it closes the vocab
+#: gate at ~125k docs under the default 8M-row cap — well before a
+#: vocabulary broadcast could blow past the ~200-400 MB ceiling. When
+#: the hint is dropped the planner/AQE still auto-broadcasts a side
+#: its REAL runtime stats show to be small.
+VOCAB_ROWS_PER_DOC = 64
+
 
 def gated_broadcast(
-    spark: SparkSession, sf_dir: str, table: str, df: DataFrame
+    spark: SparkSession,
+    sf_dir: str,
+    table: str,
+    df: DataFrame,
+    rows_per_source_row: float = 1.0,
 ) -> DataFrame:
     """Broadcast-hint ``df`` (a projection/derivation of fixture table
-    ``table``) only while the table's O(1) footer row count is under
-    ``spark.census.broadcastDimMaxRows``; otherwise return ``df``
-    un-hinted. The row count of the UNDERLYING table is a conservative
-    upper bound for any derivation of it."""
+    ``table``) only while the table's O(1) footer row count ×
+    ``rows_per_source_row`` is under ``spark.census.broadcastDimMaxRows``;
+    otherwise return ``df`` un-hinted.
+
+    The raw row count of the UNDERLYING table is a conservative upper
+    bound only for KEY-level derivations (≤1 output row per source
+    row: projections, groupBys on a source key, filtered key sets).
+    Derivations that EXPAND the key space — term-level vocabulary
+    frames being the repo's one family of these — must pass the
+    expansion factor (``rows_per_source_row=VOCAB_ROWS_PER_DOC``) so
+    the gate prices the derived cardinality, not the source's."""
     limit = int(
         spark.conf.get(BROADCAST_DIM_CONF, str(_BROADCAST_DIM_MAX_ROWS))
     )
-    if approx_rows(spark, sf_dir, table) <= limit:
+    if approx_rows(spark, sf_dir, table) * rows_per_source_row <= limit:
         return F.broadcast(df)
     return df
 

@@ -19,13 +19,76 @@ def test_approx_rows_matches_footer_and_scan(spark):
     assert n > 0
 
 
-def test_approx_rows_falls_back_to_count_for_directory_dataset(spark, tmp_path):
+def test_approx_rows_sums_footers_for_directory_dataset(spark, tmp_path):
     # a directory of part-files (the sink layout) sums footers
     from census_postgres_py_spark.tables import approx_rows, t
 
     out = str(tmp_path / "orders.parquet")
     t(spark, SF_SMOKE, "orders").limit(100).repartition(3).write.parquet(out)
     assert approx_rows(spark, str(tmp_path), "orders") == 100
+
+
+def test_approx_rows_falls_back_to_count_on_unreadable_footer(
+    spark, tmp_path, monkeypatch
+):
+    # corrupt "parquet" file => pyarrow footer read raises => the
+    # count() fallback path runs; monkeypatch t() so the fallback is
+    # observable without a real scan of the bogus bytes
+    from census_postgres_py_spark import tables
+
+    bogus = tmp_path / "orders.parquet"
+    bogus.write_bytes(b"not a parquet file")
+
+    class _FakeDF:
+        def count(self):
+            return 7
+
+    calls = []
+
+    def fake_t(spark_, sf_dir_, name_):
+        calls.append(name_)
+        return _FakeDF()
+
+    monkeypatch.setattr(tables, "t", fake_t)
+    assert tables.approx_rows(spark, str(tmp_path), "orders") == 7
+    assert calls == ["orders"]
+
+
+def test_gated_broadcast_prices_vocab_expansion(spark):
+    """ADVICE r7 (tables.py:107): term-level vocabulary frames must be
+    gated on docs × VOCAB_ROWS_PER_DOC, not the raw document count — a
+    corpus under the 8M-doc cap can still carry a vocabulary far past
+    the broadcast ceiling."""
+    from census_postgres_py_spark.tables import (
+        BROADCAST_DIM_CONF,
+        VOCAB_ROWS_PER_DOC,
+        approx_rows,
+        gated_broadcast,
+        t,
+    )
+
+    n_docs = approx_rows(spark, SF_SMOKE, "documents")
+    df = t(spark, SF_SMOKE, "documents").select("doc_id")
+    # cap between n_docs and n_docs × factor: key-level hint survives,
+    # vocab-priced hint is dropped
+    cap = n_docs * VOCAB_ROWS_PER_DOC // 2
+    assert n_docs < cap < n_docs * VOCAB_ROWS_PER_DOC
+    spark.conf.set(BROADCAST_DIM_CONF, str(cap))
+    try:
+        keyed = gated_broadcast(spark, SF_SMOKE, "documents", df)
+        assert (
+            "hint" in keyed._jdf.queryExecution().logical().toString().lower()
+        )
+        vocab = gated_broadcast(
+            spark,
+            SF_SMOKE,
+            "documents",
+            df,
+            rows_per_source_row=VOCAB_ROWS_PER_DOC,
+        )
+        assert vocab is df
+    finally:
+        spark.conf.unset(BROADCAST_DIM_CONF)
 
 
 def test_gated_broadcast_hints_only_under_the_cap(spark):
