@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from census_postgres_py_spark.registry import register
-from census_postgres_py_spark.tables import t
+from census_postgres_py_spark.tables import gated_broadcast, t
 
 _D38 = "decimal(38,0)"
 _PRIOR_M = 50
@@ -262,7 +262,10 @@ def join_complement_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     co-purchase equi-join on orderkey; lift e6-integerizes before
     ranking so the per-anchor top-3 (WindowGroupLimit, partner
     tiebreak) can never wobble on float ordering. Part totals are
-    part-cardinality-sized and broadcast.
+    part-cardinality-sized, so their broadcast is GATED like every
+    other part-derived hint (tables.gated_broadcast — the frame grows
+    with the part key space); n_orders stays an unconditional hint
+    (one scalar row).
     """
     op = (
         t(spark, sf_dir, "lineitem")
@@ -297,8 +300,8 @@ def join_complement_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("part").alias("partner"), F.col("n").alias("nb")
     )
     scored = (
-        pairs.join(F.broadcast(na), "anchor")
-        .join(F.broadcast(nb), "partner")
+        pairs.join(gated_broadcast(spark, sf_dir, "part", na), "anchor")
+        .join(gated_broadcast(spark, sf_dir, "part", nb), "partner")
         .crossJoin(F.broadcast(n_orders))
         .select(
             "anchor",
