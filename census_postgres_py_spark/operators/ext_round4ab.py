@@ -296,9 +296,14 @@ def join_bipartite_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("dc") <= _MAX_PART_DEGREE)
         .select("part")
     )
-    # deg is part-cardinality-sized — fact-scale, so gated like
-    # every other part-derived hint (tables.gated_broadcast)
-    kept = cp.join(gated_broadcast(spark, sf_dir, "part", deg), "part")
+    # deg is part-cardinality-sized — fact-scale, so gated like every
+    # other part-derived hint (tables.gated_broadcast). The gate keys
+    # on lineitem — the table deg actually derives from (distinct
+    # partkeys ≤ lineitem rows, so still an upper bound) — NOT on
+    # part, which this op never reads: keying on part crashed on
+    # edges-only corpora (orders+lineitem only) via approx_rows'
+    # count() fallback.
+    kept = cp.join(gated_broadcast(spark, sf_dir, "lineitem", deg), "part")
     a = kept.alias("a")
     b = kept.alias("b")
     return (

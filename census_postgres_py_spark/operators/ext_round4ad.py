@@ -99,9 +99,11 @@ def agg_price_index_laspeyres(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     # base is part-cardinality-sized (parts present in the base
-    # month) — fact-scale, so the hint is gated
+    # month) — fact-scale, so the hint is gated; keyed on lineitem,
+    # the table base derives from and the only one this op reads
+    # (distinct partkeys ≤ lineitem rows keeps it an upper bound)
     matched = pm.join(
-        gated_broadcast(spark, sf_dir, "part", base),
+        gated_broadcast(spark, sf_dir, "lineitem", base),
         pm["part"] == F.col("bpart"),
     ).select(
         "m",

@@ -263,9 +263,10 @@ def join_complement_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranking so the per-anchor top-3 (WindowGroupLimit, partner
     tiebreak) can never wobble on float ordering. Part totals are
     part-cardinality-sized, so their broadcast is GATED like every
-    other part-derived hint (tables.gated_broadcast — the frame grows
-    with the part key space); n_orders stays an unconditional hint
-    (one scalar row).
+    other part-derived hint (tables.gated_broadcast, keyed on
+    lineitem — the table the frames derive from and the only one this
+    op reads; distinct partkeys ≤ lineitem rows keeps it an upper
+    bound); n_orders stays an unconditional hint (one scalar row).
     """
     op = (
         t(spark, sf_dir, "lineitem")
@@ -300,8 +301,8 @@ def join_complement_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("part").alias("partner"), F.col("n").alias("nb")
     )
     scored = (
-        pairs.join(gated_broadcast(spark, sf_dir, "part", na), "anchor")
-        .join(gated_broadcast(spark, sf_dir, "part", nb), "partner")
+        pairs.join(gated_broadcast(spark, sf_dir, "lineitem", na), "anchor")
+        .join(gated_broadcast(spark, sf_dir, "lineitem", nb), "partner")
         .crossJoin(F.broadcast(n_orders))
         .select(
             "anchor",
