@@ -112,3 +112,37 @@ def test_gated_broadcast_hints_only_under_the_cap(spark):
         assert plain is df
     finally:
         spark.conf.unset(BROADCAST_DIM_CONF)
+
+
+def test_gated_broadcast_keys_on_a_table_the_op_reads():
+    """Static invariant (found the hard way in r8): every
+    gated_broadcast(spark, sf_dir, "<tbl>", ...) call must sit in a
+    function that also READS that table via t(spark, sf_dir, "<tbl>").
+    Keying the gate on a table the op never reads crashes on
+    table-subset corpora (e.g. the edges-only stress corpus carries
+    only orders+lineitem): approx_rows falls back to t().count() on the
+    missing file. The gate's row bound stays valid when keyed on the
+    source table the frame derives from (a key-level derivation never
+    exceeds its source's row count)."""
+    import glob
+    import os
+    import re
+
+    root = os.path.join(os.path.dirname(os.path.dirname(__file__)))
+    bad = []
+    for path in glob.glob(
+        os.path.join(root, "census_postgres_py_spark", "**", "*.py"),
+        recursive=True,
+    ):
+        with open(path) as fh:
+            src = fh.read()
+        for fn in re.split(r"\ndef ", src):
+            fn_name = fn.split("(")[0].strip()
+            reads = set(re.findall(r't\(spark,\s*sf_dir,\s*"(\w+)"\)', fn))
+            for m in re.finditer(
+                r'gated_broadcast\(\s*spark,\s*sf_dir,\s*"(\w+)"', fn
+            ):
+                if m.group(1) not in reads:
+                    bad.append(f"{os.path.basename(path)}::{fn_name}"
+                               f" gates on '{m.group(1)}', reads {sorted(reads)}")
+    assert not bad, bad
