@@ -113,21 +113,26 @@ def hier_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
     return reduce(DataFrame.unionAll, levels)
 
 
-def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _baskets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row per order: the sorted array of its distinct parts —
+    the single shuffle that co-locates an order's lines."""
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    return li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("ps")
+    )
+
+
+def _edges_from_baskets(baskets: DataFrame) -> DataFrame:
     """Distinct undirected co-purchase edges, oriented a < b.
 
-    Pairs expand INSIDE each order's sorted part array (one groupBy
-    + a JVM nested transform) instead of a self-join on orderkey —
-    same one shuffle to co-locate an order's lines, but the join's
+    Pairs expand INSIDE each order's sorted part array (a JVM nested
+    transform) instead of a self-join on orderkey — the join's
     probe/build and the order-local duplicate pairs never
     materialize (~35% faster at sf0.1, and the per-order work stays
     O(lines²) local with no skew beyond basket size).
     """
-    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     return (
-        li.groupBy("l_orderkey")
-        .agg(F.array_sort(F.collect_set("l_partkey")).alias("ps"))
-        .select(
+        baskets.select(
             F.explode(
                 F.expr(
                     "flatten(transform(ps, (x, i) ->"
@@ -139,6 +144,10 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p.pa", "p.pb")
         .distinct()
     )
+
+
+def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _edges_from_baskets(_baskets(spark, sf_dir))
 
 
 _EDGES_SQL = """
@@ -190,36 +199,45 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     holds exactly when E itself is broadcastable (it is E, grouped:
     |E| total array elements) — so it is GATED on an exact upper
     bound of |E| vs ``spark.census.graph.broadcastAdjMaxEdges``
-    (see _ADJ_BROADCAST_MAX_EDGES): Σ_orders C(k,2) from ONE
-    combinable count-per-basket aggregation (map-side partial, one
-    long per order shuffled, one scalar collected). The r7 footer
-    heuristic 3·|lineitem| was only valid for baskets of ≤7 lines
-    (Σ C(k,2) ≤ 3k iff k ≤ 7) and UNDER-counted past that — this
-    bound is shape-independent: pair expansion before dedup is
-    exactly Σ C(k,2), and dedup only shrinks it. The agg costs ~¼
-    of the operator's own basket groupBy and is skipped entirely
-    when the conf forces the shuffle path (cap ≤ 0, the escape
-    hatch). Past the cap both adjacency attachments become shuffled
+    (see _ADJ_BROADCAST_MAX_EDGES): Σ_orders C(k,2) over per-basket
+    DISTINCT-part counts, read off the operator's own basket table
+    (localCheckpointed once, serving the bound agg AND the main
+    plan's first stage — the estimate adds a block scan, not a
+    second lineitem shuffle). The r7 footer heuristic 3·|lineitem|
+    was only valid for baskets of ≤7 lines (Σ C(k,2) ≤ 3k iff
+    k ≤ 7) and UNDER-counted past that — this bound is
+    shape-independent: it is exactly the per-basket pair count
+    before the global distinct, which only shrinks it. Skipped
+    entirely when the conf forces the shuffle path (cap ≤ 0, the
+    escape hatch). Past the cap both adjacency attachments become shuffled
     hash joins on the node key, keeping the same Θ(wedges) intersect
     work with shuffle-partition parallelism instead of a
     per-executor copy of E.
     """
     max_edges = int(spark.conf.get(_ADJ_CONF, str(_ADJ_BROADCAST_MAX_EDGES)))
-    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    baskets = _baskets(spark, sf_dir)
     if max_edges > 0:
+        # The estimate needs the basket table materialized; the main
+        # plan needs the SAME basket table as its first stage — so
+        # localCheckpoint once and both read it: the bound agg is a
+        # near-free scan of the checkpointed blocks instead of a
+        # second scan+shuffle of lineitem. (Contrast pagerank, where
+        # an eager checkpoint LOSES — its bounded unroll never needs
+        # the materialization; here the estimate action forces one
+        # anyway.) Blocks are lineitem-scale, MEMORY_AND_DISK, and
+        # freed by the ContextCleaner when the result DF is dropped.
+        baskets = baskets.localCheckpoint()
         est_edges = int(
-            li.groupBy("l_orderkey")
-            .agg(F.count("*").alias("k"))
-            .agg(
+            baskets.agg(
                 F.coalesce(
-                    F.sum(F.expr("k * (k - 1) DIV 2")), F.lit(0)
+                    F.sum(F.expr("size(ps) * (size(ps) - 1) DIV 2")),
+                    F.lit(0),
                 ).alias("w")
-            )
-            .collect()[0][0]
+            ).collect()[0][0]
         )
     else:
         est_edges = max_edges + 1  # conf ≤ 0 forces shuffle; skip the agg
-    edges = _copurchase_edges(spark, sf_dir)
+    edges = _edges_from_baskets(baskets)
     adj = edges.groupBy(F.col("pa").alias("node")).agg(
         F.collect_list("pb").alias("nbrs")
     )
