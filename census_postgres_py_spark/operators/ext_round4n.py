@@ -21,18 +21,18 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from census_postgres_py_spark.registry import register
-from census_postgres_py_spark.tables import t
+from census_postgres_py_spark.tables import approx_rows, t
 
 # graph_triangle_count broadcasts the out-adjacency table (|E| total
 # array elements) to both sides of the edge join — a win while E fits
 # comfortably in executor memory, a cluster-killer past it. The gate
-# estimates |E| from the lineitem parquet footer (O(1); edges ≤
-# Σ basket·(basket−1)/2 ≈ 3× lineitem rows at the fixture's ~7-line
-# baskets) and falls back to plain shuffled hash joins on the node key
-# above the cap. ~48 M estimated edges ≈ 16 M lineitem rows ≈ sf8
-# single-node; at ~16 B/element that bounds the broadcast near 800 MB.
-# Override per session with spark.census.graph.broadcastAdjMaxEdges
-# (set 0 to force the shuffle path, a huge value to force broadcast).
+# bounds |E| EXACTLY by Σ_baskets C(k,2) (shape-independent — the r7
+# footer heuristic 3·|lineitem| under-counted for baskets >7 lines) and
+# falls back to plain shuffled hash joins on the node key above the
+# cap. ~48 M estimated edges; at ~16 B/element that bounds the
+# broadcast near 800 MB. Override per session with
+# spark.census.graph.broadcastAdjMaxEdges (set 0 to force the shuffle
+# path and skip the estimate entirely, a huge value to force broadcast).
 _ADJ_BROADCAST_MAX_EDGES = 48_000_000
 _ADJ_CONF = "spark.census.graph.broadcastAdjMaxEdges"
 
@@ -216,16 +216,21 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     max_edges = int(spark.conf.get(_ADJ_CONF, str(_ADJ_BROADCAST_MAX_EDGES)))
     baskets = _baskets(spark, sf_dir)
-    if max_edges > 0:
-        # The estimate needs the basket table materialized; the main
-        # plan needs the SAME basket table as its first stage — so
-        # localCheckpoint once and both read it: the bound agg is a
-        # near-free scan of the checkpointed blocks instead of a
-        # second scan+shuffle of lineitem. (Contrast pagerank, where
-        # an eager checkpoint LOSES — its bounded unroll never needs
-        # the materialization; here the estimate action forces one
-        # anyway.) Blocks are lineitem-scale, MEMORY_AND_DISK, and
-        # freed by the ContextCleaner when the result DF is dropped.
+    if max_edges <= 0:
+        est_edges = max_edges + 1  # conf ≤ 0 forces shuffle; skip the agg
+    elif 3 * approx_rows(spark, sf_dir, "lineitem") <= max_edges:
+        # SMALL-GRAPH fast path, gated by an O(1) footer bound on the
+        # basket table's SIZE (3·|lineitem| longs ≈ ≤128 MB at the
+        # default cap — a bound on bytes checkpointed, NOT the
+        # broadcast decision): localCheckpoint baskets once and let it
+        # serve BOTH the exact bound agg (a near-free block scan) and
+        # the main plan's first stage. Measured 3.54s vs 3.94s for the
+        # two-scan variant at sf0.1. The broadcast decision itself
+        # always uses the exact Σ C(k,2) below. (Contrast pagerank,
+        # where an eager checkpoint LOSES — its bounded unroll never
+        # needs the materialization; here the estimate action forces
+        # one anyway.) Blocks are freed by the ContextCleaner when the
+        # result DF is dropped.
         baskets = baskets.localCheckpoint()
         est_edges = int(
             baskets.agg(
@@ -236,7 +241,24 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).collect()[0][0]
         )
     else:
-        est_edges = max_edges + 1  # conf ≤ 0 forces shuffle; skip the agg
+        # BIG-GRAPH path: never materialize lineitem-scale basket
+        # blocks just to decide a gate that will almost surely close
+        # (the r8 100× re-measure hit disk exhaustion doing exactly
+        # that) — the exact bound comes from the cheap combinable
+        # count-per-order agg instead (one long per order shuffled,
+        # one scalar collected; ≥ the distinct-part pair count, so
+        # still a valid upper bound), and the basket table stays lazy.
+        li = t(spark, sf_dir, "lineitem").select("l_orderkey")
+        est_edges = int(
+            li.groupBy("l_orderkey")
+            .agg(F.count("*").alias("k"))
+            .agg(
+                F.coalesce(
+                    F.sum(F.expr("k * (k - 1) DIV 2")), F.lit(0)
+                ).alias("w")
+            )
+            .collect()[0][0]
+        )
     edges = _edges_from_baskets(baskets)
     adj = edges.groupBy(F.col("pa").alias("node")).agg(
         F.collect_list("pb").alias("nbrs")
