@@ -90,3 +90,24 @@ def test_degree_hist_handshake(spark, queries):
     for _, r in df.iterrows():
         assert r["bucket"] * 16 <= r["min_degree"] <= r["max_degree"]
         assert r["max_degree"] < (r["bucket"] + 1) * 16
+
+
+def test_triangle_big_graph_path_matches_small_graph_path(
+    spark, queries, monkeypatch
+):
+    """The gate has two estimate paths: small-graph (O(1) footer bound
+    under the cap -> baskets localCheckpointed, bound read off the
+    blocks) and big-graph (baskets stay LAZY, bound from the
+    count-per-order agg — checkpointing lineitem-scale blocks before
+    the decision exhausted /tmp at 100x in r8). Forcing the big path
+    by faking a huge footer count must yield a bit-identical answer."""
+    from census_postgres_py_spark.operators import ext_round4n as mod
+
+    small = sorted(
+        map(tuple, queries["graph_triangle_count"](spark, SF_SMOKE).collect())
+    )
+    monkeypatch.setattr(mod, "approx_rows", lambda *_: 10**12)
+    big = sorted(
+        map(tuple, queries["graph_triangle_count"](spark, SF_SMOKE).collect())
+    )
+    assert small and small == big
