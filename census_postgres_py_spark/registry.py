@@ -49,33 +49,21 @@ _LOADED = False
 # bench_queries.json (the driver benches AFTER the builder's last
 # commit, so the map lands modified at round open), then (b) verify the
 # new CORRECTNESS_r0N keys == the queue head via tools/rotate_window.py
-# and delete them from the front. Schedule: r8 grades the final 57
-# below -> converged.
+# and delete them from the front.
 # RETIREMENT (r5 VERDICT item 5, date-stamped in BASELINE.md):
-# after r8's CORRECTNESS drains the queue, DELETE _WINDOW_PRIORITY
-# entirely so ``queries()`` reverts to plain registration order and
-# r9+ windows re-sample already-graded ids. CONTINGENCY (r7 VERDICT
-# item 1): the driver has graded exactly 50/round; if CORRECTNESS_r08
-# covers only the first 50 of the 57, hold the last 7 in the queue and
-# slip retirement to the round after the queue actually drains.
+# once the queue drains, DELETE _WINDOW_PRIORITY entirely so
+# ``queries()`` reverts to plain registration order and later windows
+# re-sample already-graded ids. CONTINGENCY EXECUTED (r7 VERDICT item 1,
+# confirmed by the r8 VERDICT): the driver graded exactly the first 50
+# of r8's 57-id queue (CORRECTNESS_r08 == queue[:50], all hash-green,
+# verified by tools/rotate_window.py on 2026-08-15), so the 7 tail ids
+# below stay at the queue head for r9 grading and retirement slips to
+# r10 (the round after CORRECTNESS_r09 stamps them).
 # Operator SEMANTICS never depend on this ordering (contract tests
 # compare key sets only).
 _WINDOW_PRIORITY: tuple[str, ...] = (
-    "pipeline_feature_store_e2e", "dq_temporal_consistency", "agg_overdispersion", "agg_sprt_decision",
-    "emb_centroid_drift", "join_bipartite_projection", "text_prefix_autocomplete", "dedup_tfidf_cosine",
-    "dq_coverage_matrix", "agg_price_index_laspeyres", "ts_backlog_value", "agg_seasonal_strength",
-    "agg_gumbel_maxima", "agg_stickiness_ratio", "text_ngram_novelty", "agg_calibration_error",
-    "fn_float32_precision_audit", "join_complement_rank", "agg_bcg_matrix", "agg_abc_xyz",
-    "fn_tax_brackets", "join_fifo_matching", "text_burstiness", "agg_price_elasticity",
-    "agg_pvm_bridge", "fn_consistent_sampling", "sample_balanced_classes", "dq_checksum_reconciliation",
-    "dim_golden_record", "agg_retention_fit", "agg_reach_frequency", "join_returns_impact",
-    "agg_anova_weekday", "text_perplexity_filter", "dq_distribution_psi", "ts_twab_monthly",
-    "agg_hhi_concentration", "win_rolling_geomean", "dq_denormalized_field_audit", "agg_did_estimate",
-    "agg_simpson_flip", "dq_header_detail_reconcile", "agg_interval_union_days", "agg_mutual_information",
-    "win_tail_ratio", "agg_error_budget_burn", "fn_geo_destination", "dq_attribute_conflicts",
-    "transform_quantile_normalize", "agg_covariance_matrix", "agg_cohens_d", "agg_spc_rules",
-    "fn_uuid3_mint", "join_apportion_capacity", "agg_pareto_crosspoint", "agg_moods_median_test",
-    "dq_benford_second_digit",
+    "agg_cohens_d", "agg_spc_rules", "fn_uuid3_mint", "join_apportion_capacity",
+    "agg_pareto_crosspoint", "agg_moods_median_test", "dq_benford_second_digit",
 )
 
 

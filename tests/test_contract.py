@@ -283,10 +283,11 @@ def test_registry_frozen_at_r4_ids(queries):
 
 def test_window_priority_is_exactly_the_never_graded_ids(queries):
     """The rotation queue must be the complement of the driver-graded
-    union (CORRECTNESS_r02..r07 keys) in registration order — the window
+    union (CORRECTNESS_r02..r08 keys) in registration order — the window
     exists only to finish coverage, never to steer grading. After the
-    r7 rotation the queue holds the final 57 never-graded ids; r8
-    drains it (see registry._WINDOW_PRIORITY's retirement note)."""
+    r8 rotation (contingency executed: the driver graded queue[:50])
+    the queue holds the final 7 never-graded ids; r9 drains it (see
+    registry._WINDOW_PRIORITY's retirement note)."""
     import json
     import os
 
@@ -294,7 +295,7 @@ def test_window_priority_is_exactly_the_never_graded_ids(queries):
 
     root = os.path.dirname(os.path.dirname(__file__))
     graded = set()
-    for n in (2, 3, 4, 5, 6, 7):
+    for n in (2, 3, 4, 5, 6, 7, 8):
         graded |= set(json.load(open(os.path.join(root, f"CORRECTNESS_r0{n}.json"))))
     queue = list(registry._WINDOW_PRIORITY)
     assert set(queue) & graded == set(), sorted(set(queue) & graded)
