@@ -297,13 +297,15 @@ def join_bipartite_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("part")
     )
     # deg is part-cardinality-sized — fact-scale, so gated like every
-    # other part-derived hint (tables.gated_broadcast). The gate keys
-    # on lineitem — the table deg actually derives from (distinct
-    # partkeys ≤ lineitem rows, so still an upper bound) — NOT on
-    # part, which this op never reads: keying on part crashed on
-    # edges-only corpora (orders+lineitem only) via approx_rows'
-    # count() fallback.
-    kept = cp.join(gated_broadcast(spark, sf_dir, "lineitem", deg), "part")
+    # other part-derived hint (tables.gated_broadcast). Preference-
+    # keyed on part (the tight bound — distinct partkeys ≤ |part| —
+    # broadcastable far past the lineitem-row cap) falling back to
+    # lineitem, the derivation source this op reads, when part.parquet
+    # is absent (edges-only stress corpora): the r8 unconditional part
+    # key crashed there via approx_rows' count() fallback, and the r8
+    # lineitem rekey closed the gate at ~sf1.3 for a part-sized frame
+    # (r8 ADVICE).
+    kept = cp.join(gated_broadcast(spark, sf_dir, ("part", "lineitem"), deg), "part")
     a = kept.alias("a")
     b = kept.alias("b")
     return (

@@ -24,7 +24,7 @@ from pyspark.sql.window import Window
 from census_postgres_py_spark.functions.text import tokens
 from census_postgres_py_spark.registry import register
 from census_postgres_py_spark.tables import (
-    VOCAB_ROWS_PER_DOC,
+    vocab_rows_per_doc,
     gated_broadcast,
     t,
 )
@@ -218,7 +218,7 @@ def dedup_tfidf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         # Heaps' law) — gated like every fact-scale hint
         tf.join(gated_broadcast(
             spark, sf_dir, "documents", dfreq,
-            rows_per_source_row=VOCAB_ROWS_PER_DOC,
+            rows_per_source_row=vocab_rows_per_doc(sf_dir),
         ), "term")
         .crossJoin(F.broadcast(nd))
         .select(
@@ -268,7 +268,7 @@ def dedup_tfidf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     flagged = (
         nhat.join(gated_broadcast(
             spark, sf_dir, "documents", maxw,
-            rows_per_source_row=VOCAB_ROWS_PER_DOC,
+            rows_per_source_row=vocab_rows_per_doc(sf_dir),
         ), "term")
         .withColumn("pot", F.col("xhat") * F.col("maxw"))
         .withColumn("tail_pot", F.sum("pot").over(w_tail))

@@ -99,11 +99,15 @@ def agg_price_index_laspeyres(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     # base is part-cardinality-sized (parts present in the base
-    # month) — fact-scale, so the hint is gated; keyed on lineitem,
-    # the table base derives from and the only one this op reads
-    # (distinct partkeys ≤ lineitem rows keeps it an upper bound)
+    # month) — fact-scale, so the hint is gated. Preference-keyed on
+    # part (the TIGHT bound: distinct partkeys ≤ |part|, which stays
+    # broadcastable long after lineitem's row count crosses the cap)
+    # with lineitem — the derivation source this op reads — as the
+    # fallback for table-subset corpora that carry no part.parquet
+    # (r8 ADVICE: keying on lineitem alone closed the gate at ~sf1.3
+    # for a frame that never outgrows part).
     matched = pm.join(
-        gated_broadcast(spark, sf_dir, "lineitem", base),
+        gated_broadcast(spark, sf_dir, ("part", "lineitem"), base),
         pm["part"] == F.col("bpart"),
     ).select(
         "m",

@@ -263,10 +263,12 @@ def join_complement_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranking so the per-anchor top-3 (WindowGroupLimit, partner
     tiebreak) can never wobble on float ordering. Part totals are
     part-cardinality-sized, so their broadcast is GATED like every
-    other part-derived hint (tables.gated_broadcast, keyed on
-    lineitem — the table the frames derive from and the only one this
-    op reads; distinct partkeys ≤ lineitem rows keeps it an upper
-    bound); n_orders stays an unconditional hint (one scalar row).
+    other part-derived hint (tables.gated_broadcast), preference-keyed
+    on part — the tight bound (distinct partkeys ≤ |part|), which
+    stays broadcastable far past where lineitem's row count closes the
+    gate (r8 ADVICE) — falling back to lineitem (the derivation source
+    this op reads) on table-subset corpora without part.parquet;
+    n_orders stays an unconditional hint (one scalar row).
     """
     op = (
         t(spark, sf_dir, "lineitem")
@@ -301,8 +303,8 @@ def join_complement_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("part").alias("partner"), F.col("n").alias("nb")
     )
     scored = (
-        pairs.join(gated_broadcast(spark, sf_dir, "lineitem", na), "anchor")
-        .join(gated_broadcast(spark, sf_dir, "lineitem", nb), "partner")
+        pairs.join(gated_broadcast(spark, sf_dir, ("part", "lineitem"), na), "anchor")
+        .join(gated_broadcast(spark, sf_dir, ("part", "lineitem"), nb), "partner")
         .crossJoin(F.broadcast(n_orders))
         .select(
             "anchor",

@@ -21,7 +21,7 @@ from pyspark.sql.window import Window
 
 from census_postgres_py_spark.registry import register
 from census_postgres_py_spark.tables import (
-    VOCAB_ROWS_PER_DOC,
+    vocab_rows_per_doc,
     gated_broadcast,
     t,
 )
@@ -129,7 +129,7 @@ def text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         tf.join(dl, "doc_id")
         .join(gated_broadcast(
             spark, sf_dir, "documents", dfreq,
-            rows_per_source_row=VOCAB_ROWS_PER_DOC,
+            rows_per_source_row=vocab_rows_per_doc(sf_dir),
         ), "term")
         .crossJoin(F.broadcast(stats))
         .select(

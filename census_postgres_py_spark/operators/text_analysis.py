@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 from census_postgres_py_spark.functions.text import normalized, tokens
 from census_postgres_py_spark.registry import register
 from census_postgres_py_spark.tables import (
-    VOCAB_ROWS_PER_DOC,
+    vocab_rows_per_doc,
     gated_broadcast,
     t,
 )
@@ -226,7 +226,7 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         # dfreq is vocabulary-scale — gated (grows with the corpus)
         tf.join(gated_broadcast(
             spark, sf_dir, "documents", dfreq,
-            rows_per_source_row=VOCAB_ROWS_PER_DOC,
+            rows_per_source_row=vocab_rows_per_doc(sf_dir),
         ), "term")
         .crossJoin(F.broadcast(nd))
         .withColumn("score", score)

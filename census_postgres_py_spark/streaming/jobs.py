@@ -90,8 +90,12 @@ def _cached_feed(name: str, sf_dir: str, build, table: str = "events") -> str:
     - CROSS-PROCESS RACE: the feed is built in a uuid'd sibling and
       renamed into place (atomic within one filesystem), so concurrent
       processes (pytest + the driver) can never interleave partial
-      writes behind the marker; the loser of the swap race discards
-      its build and uses the winner's — same fingerprint, same feed.
+      writes behind the marker. The loser of the swap race re-reads the
+      winner's ``_FEED_READY`` before adopting it: two processes with
+      DIFFERENT sf_dirs sharing a basename produce the same feed name
+      with different fingerprints, so a blind adopt would hand back the
+      wrong feed — on mismatch the loser retries the build/swap loop
+      (r8 ADVICE).
 
     Feed dirs stay persistent within tempdir lifetime by design: they
     are the materialize-once stream sources (checkpoints, by contrast,
@@ -104,28 +108,48 @@ def _cached_feed(name: str, sf_dir: str, build, table: str = "events") -> str:
     fp = _fixture_fingerprint(sf_dir, table)
     final = os.path.join(base, name)
     marker = os.path.join(final, "_FEED_READY")
-    try:
-        with open(marker) as fh:
-            if fh.read().strip() == fp:
+
+    def _marker_matches() -> bool:
+        try:
+            with open(marker) as fh:
+                return fh.read().strip() == fp
+        except OSError:
+            return False
+
+    # Bounded retry: each pass either adopts a fingerprint-matching
+    # feed or swaps its own build into place; a loop only happens when
+    # a basename-colliding builder with a DIFFERENT sf_dir keeps
+    # winning swaps, which self-resolves as soon as one side's rename
+    # sticks (last rename wins; both sides verify before adopting).
+    for _attempt in range(5):
+        if _marker_matches():
+            return final
+        tmp = os.path.join(base, f"_{name}.build-{uuid.uuid4().hex[:8]}")
+        os.makedirs(tmp, exist_ok=True)
+        build(tmp)
+        with open(os.path.join(tmp, "_FEED_READY"), "w") as fh:
+            fh.write(fp)
+        stale = os.path.join(base, f"_{name}.stale-{uuid.uuid4().hex[:8]}")
+        try:
+            if os.path.exists(final):
+                os.rename(final, stale)
+            os.rename(tmp, final)
+            shutil.rmtree(stale, ignore_errors=True)
+            return final
+        except OSError:
+            # Lost the swap race to a concurrent builder. Only adopt
+            # the winner's feed if it carries OUR fingerprint — a
+            # different-sf_dir basename collision does not (r8 ADVICE:
+            # the loser must verify, not assume).
+            shutil.rmtree(tmp, ignore_errors=True)
+            shutil.rmtree(stale, ignore_errors=True)
+            if _marker_matches():
                 return final
-    except OSError:
-        pass
-    tmp = os.path.join(base, f"_{name}.build-{uuid.uuid4().hex[:8]}")
-    os.makedirs(tmp, exist_ok=True)
-    build(tmp)
-    with open(os.path.join(tmp, "_FEED_READY"), "w") as fh:
-        fh.write(fp)
-    stale = os.path.join(base, f"_{name}.stale-{uuid.uuid4().hex[:8]}")
-    try:
-        if os.path.exists(final):
-            os.rename(final, stale)
-        os.rename(tmp, final)
-    except OSError:
-        # Lost the swap race to a concurrent builder whose feed carries
-        # the same fingerprint — use theirs, drop ours.
-        shutil.rmtree(tmp, ignore_errors=True)
-    shutil.rmtree(stale, ignore_errors=True)
-    return final
+    raise RuntimeError(
+        f"feed {name!r}: lost the swap race 5 times to builders with a "
+        f"different fixture fingerprint — basename-colliding sf_dirs "
+        f"are thrashing {final}"
+    )
 
 
 def _events_stream(spark: SparkSession, sf_dir: str, max_files: int | None = None):

@@ -103,24 +103,79 @@ def approx_rows(
 BROADCAST_DIM_CONF = "spark.census.broadcastDimMaxRows"
 _BROADCAST_DIM_MAX_ROWS = 8_000_000
 
-#: Expansion factor for TERM-level derivations of ``documents``
-#: (dfreq/maxw vocabulary frames in text_tfidf / text_bm25 /
-#: dedup_tfidf_cosine): those frames hold one row per DISTINCT TERM,
-#: and vocabulary cardinality can exceed document count by orders of
-#: magnitude (worst case every token unique => docs × tokens/doc).
-#: 64 distinct terms/doc is the conservative planning bound for the
-#: short-document corpora this engine targets; it closes the vocab
-#: gate at ~125k docs under the default 8M-row cap — well before a
-#: vocabulary broadcast could blow past the ~200-400 MB ceiling. When
-#: the hint is dropped the planner/AQE still auto-broadcasts a side
-#: its REAL runtime stats show to be small.
+#: FLOOR for the expansion factor on TERM-level derivations of
+#: ``documents`` (dfreq/maxw vocabulary frames in text_tfidf /
+#: text_bm25 / dedup_tfidf_cosine): those frames hold one row per
+#: DISTINCT TERM, and vocabulary cardinality can exceed document count
+#: by orders of magnitude (worst case every token unique => docs ×
+#: tokens/doc). 64 distinct terms/doc closes the vocab gate at ~125k
+#: docs under the default 8M-row cap — well before a vocabulary
+#: broadcast could blow past the ~200-400 MB ceiling. This constant is
+#: a best-effort PLANNING FLOOR, not an upper bound (r8 ADVICE):
+#: :func:`vocab_rows_per_doc` derives the real factor from fixture
+#: stats and never returns below it. When the hint is dropped the
+#: planner/AQE still auto-broadcasts a side whose REAL runtime stats
+#: show it small.
 VOCAB_ROWS_PER_DOC = 64
+
+_VOCAB_FACTOR_CACHE: dict[tuple, int] = {}
+
+
+def vocab_rows_per_doc(sf_dir: str) -> int:
+    """Distinct-terms-per-doc bound derived from the corpus itself.
+
+    Reads the first ≤512 rows of ``documents.parquet`` driver-side via
+    pyarrow (one column, one batch — no Spark job), measures the MAX
+    distinct whitespace-token count per document, and doubles it for
+    sample-vs-population headroom, flooring at the static
+    ``VOCAB_ROWS_PER_DOC``. Deriving from data instead of trusting the
+    constant closes the r8 ADVICE gap: a corpus with long documents
+    (>64 distinct terms) raises the factor and closes the broadcast
+    gate EARLIER, instead of letting the hint override Spark's size
+    check past the ceiling. Still best-effort (a head sample can
+    under-read a heavy tail — hence the 2× margin and the floor); the
+    gate's job is planning, not a hard memory guarantee. Cached per
+    (path, size, mtime_ns) so repeated gate reads cost nothing.
+    """
+    import os
+
+    path = f"{sf_dir}/documents.parquet"
+    try:
+        if os.path.isdir(path):
+            cands = [
+                os.path.join(root, fn)
+                for root, _, fns in os.walk(path)
+                for fn in sorted(fns)
+                if fn.endswith(".parquet")
+            ]
+            fpath = sorted(cands)[0]
+        else:
+            fpath = path
+        st = os.stat(fpath)
+        key = (fpath, st.st_size, st.st_mtime_ns)
+        hit = _VOCAB_FACTOR_CACHE.get(key)
+        if hit is not None:
+            return hit
+        import pyarrow.parquet as pq
+
+        pf = pq.ParquetFile(fpath)
+        batch = next(pf.iter_batches(batch_size=512, columns=["text"]))
+        max_terms = max(
+            (len({w for w in (txt or "").split(" ") if w})
+             for txt in batch.column("text").to_pylist()),
+            default=0,
+        )
+        factor = max(VOCAB_ROWS_PER_DOC, 2 * max_terms)
+        _VOCAB_FACTOR_CACHE[key] = factor
+        return factor
+    except Exception:
+        return VOCAB_ROWS_PER_DOC
 
 
 def gated_broadcast(
     spark: SparkSession,
     sf_dir: str,
-    table: str,
+    table: str | tuple[str, ...],
     df: DataFrame,
     rows_per_source_row: float = 1.0,
 ) -> DataFrame:
@@ -135,7 +190,28 @@ def gated_broadcast(
     Derivations that EXPAND the key space — term-level vocabulary
     frames being the repo's one family of these — must pass the
     expansion factor (``rows_per_source_row=VOCAB_ROWS_PER_DOC``) so
-    the gate prices the derived cardinality, not the source's."""
+    the gate prices the derived cardinality, not the source's.
+
+    ``table`` may be a PREFERENCE TUPLE (r8 ADVICE): the gate keys on
+    the first candidate whose parquet EXISTS in ``sf_dir``, falling
+    back left-to-right. This lets part-cardinality frames (e.g.
+    distinct-partkey aggregates of lineitem) key on ``part`` — the
+    tight bound, which stays broadcastable far past the point where
+    lineitem's row count would close the gate — while table-subset
+    corpora (the edges-only stress fixture carries no part.parquet)
+    fall back to the derivation source instead of crashing through
+    approx_rows' count() of a missing file. The LAST entry must be a
+    table the op actually reads (static-tested in test_tables.py), so
+    the fallback always exists on any corpus the op can run on."""
+    import os
+
+    if isinstance(table, tuple):
+        chosen = table[-1]
+        for cand in table:
+            if os.path.exists(f"{sf_dir}/{cand}.parquet"):
+                chosen = cand
+                break
+        table = chosen
     limit = int(
         spark.conf.get(BROADCAST_DIM_CONF, str(_BROADCAST_DIM_MAX_ROWS))
     )

@@ -7,6 +7,9 @@ output mode)."""
 
 from __future__ import annotations
 
+import shutil
+import tempfile
+
 from tests.conftest import SF_SMOKE
 
 
@@ -316,3 +319,53 @@ def test_cached_feed_validates_fingerprint_and_swaps_atomically(tmp_path):
     import shutil
 
     shutil.rmtree(d1, ignore_errors=True)
+
+
+def test_cached_feed_race_loser_verifies_winner_fingerprint(monkeypatch, tmp_path):
+    """ADVICE r8 (streaming/jobs.py): when the swap rename fails (lost
+    a cross-process race), the loser must NOT blindly adopt the
+    winner's dir — a basename-colliding builder with a DIFFERENT
+    sf_dir leaves a feed with a different fingerprint. The loser must
+    re-verify the final marker and retry the build/swap until its own
+    fingerprint is in place."""
+    import os
+
+    from census_postgres_py_spark.streaming import jobs
+
+    name = "test_feed_racecheck"
+    base = os.path.join(tempfile.gettempdir(), "cppys_stream")
+    os.makedirs(base, exist_ok=True)
+    final = os.path.join(base, name)
+    shutil.rmtree(final, ignore_errors=True)
+    fp = jobs._fixture_fingerprint(SF_SMOKE)
+
+    builds = []
+
+    def build(d):
+        builds.append(d)
+        with open(os.path.join(d, "data.csv"), "w") as f:
+            f.write("1\n")
+
+    real_rename = os.rename
+    fail_next = {"n": 1}
+
+    def racy_rename(src, dst):
+        # Simulate losing the swap: the first tmp->final rename raises,
+        # and the "winner" (a different-sf_dir builder) has already
+        # installed a feed with a FOREIGN fingerprint.
+        if dst == final and fail_next["n"] > 0:
+            fail_next["n"] -= 1
+            os.makedirs(final, exist_ok=True)
+            with open(os.path.join(final, "_FEED_READY"), "w") as f:
+                f.write("foreign-fingerprint")
+            raise OSError("simulated lost swap race")
+        return real_rename(src, dst)
+
+    monkeypatch.setattr(os, "rename", racy_rename)
+    d = jobs._cached_feed(name, SF_SMOKE, build)
+    # the loser retried (2 builds) instead of adopting the foreign feed
+    assert len(builds) == 2 and d == final
+    with open(os.path.join(d, "_FEED_READY")) as f:
+        assert f.read().strip() == fp
+    assert os.path.exists(os.path.join(d, "data.csv"))
+    shutil.rmtree(final, ignore_errors=True)
