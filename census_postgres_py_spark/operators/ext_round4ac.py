@@ -24,12 +24,19 @@ from pyspark.sql.window import Window
 from census_postgres_py_spark.functions.text import tokens
 from census_postgres_py_spark.registry import register
 from census_postgres_py_spark.tables import (
-    vocab_rows_per_doc,
     gated_broadcast,
     t,
+    vocab_rows_per_doc,
+    vocab_sample_distinct,
 )
 
 _D38 = "decimal(38,0)"
+
+#: dedup_tfidf_cosine plan gate: corpora whose 512-doc head sample has
+#: at most this many distinct terms take the single-pass exact plan
+#: (see the op docstring). 0 forces the prefix plan (escape hatch).
+_SMALL_VOCAB_CONF = "spark.census.tfidf.smallVocabMax"
+_SMALL_VOCAB_MAX = 2048
 
 
 # ---------------------------------------------------------------------------
@@ -107,6 +114,75 @@ def text_prefix_autocomplete(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SIG_K = 5  # signature size: top-weight terms per doc
 _COS_TH = 0.5
+
+
+def _tfidf_cosine_small_vocab(spark, sig, norms) -> DataFrame:
+    """Single-pass exact plan for hub-vocabulary corpora (see the
+    dedup_tfidf_cosine docstring's PLAN CHOICE note).
+
+    Every pair with cos > 0 shares ≥1 signature term, so the full⋈full
+    inverted-index join on (term, lang) meets each pair once PER SHARED
+    TERM, and — terms being unique within a signature — ONE groupBy
+    sums the exact integer dot. The per-doc squared norms ride the
+    index rows as constants (min() is a constant-pick, not math), so
+    the τ filter right after the groupBy is the EXACT filter: no upper
+    bound, no survivor shell, no re-dot joins. Candidate volume is
+    within ~25% of the prefix plan's on these corpora (measured at
+    sf0.1: 3.0M vs 2.4M join rows) because nothing is rare enough for
+    a prefix to drop; what disappears is the 84%-of-candidates
+    survivor machinery (measured 73% of core-seconds at 500k docs).
+
+    The explicit hash repartition on the join keys mirrors the prefix
+    path: it pins pair-stage parallelism (AQE otherwise lands the
+    whole Σ df² expansion in one task behind a small-side broadcast)
+    and is exempt from AQE coalescing. A corpus-hub term still bounds
+    one join task's OUTPUT at df_a·df_b for that term; at 100 TB the
+    big-vocab prefix path owns that regime (this path is only chosen
+    when the sampled vocabulary is tiny, where df is uniform-ish by
+    construction)."""
+    nrm_a = norms.select(
+        F.col("doc_id").alias("da"), F.col("nsq").alias("na")
+    )
+    nrm_b = norms.select(
+        F.col("doc_id").alias("db"), F.col("nsq").alias("nb")
+    )
+    a = sig.join(nrm_a, sig.doc_id == nrm_a.da).select(
+        "da", "lang", "term", F.col("w").alias("wa"), "na"
+    )
+    b = sig.join(nrm_b, sig.doc_id == nrm_b.db).select(
+        "db",
+        F.col("lang").alias("lb"),
+        F.col("term").alias("tb"),
+        F.col("w").alias("wb"),
+        "nb",
+    )
+    npart = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    a = a.repartition(npart, "term", "lang")
+    b = b.repartition(npart, "tb", "lb")
+    pair_on = (
+        (F.col("tb") == F.col("term"))
+        & (F.col("lb") == F.col("lang"))
+        & (F.col("da") < F.col("db"))
+    )
+    dots = (
+        a.join(b, pair_on)
+        .groupBy("da", "db")
+        .agg(
+            F.sum((F.col("wa") * F.col("wb")).cast(_D38)).alias("dot"),
+            F.min("na").alias("na"),
+            F.min("nb").alias("nb"),
+        )
+    )
+    cos = (
+        F.col("dot").cast("double")
+        / F.sqrt(F.col("na").cast("double"))
+        / F.sqrt(F.col("nb").cast("double"))
+    )
+    return dots.filter(cos >= _COS_TH).select(
+        "da",
+        "db",
+        (F.floor(cos * 1000000 + F.lit(0.5)) / 1000000).alias("cos_sim"),
+    )
 
 
 @register(
@@ -204,6 +280,27 @@ def dedup_tfidf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     claim is flat per-output-pair cost, pinned by the stress bench
     alongside a Heaps-law-vocabulary corpus where the true answer
     (and the measured runtime) stays ~linear.
+
+    PLAN CHOICE (r9, from the r8 500k-doc profile): on SMALL-
+    VOCABULARY corpora the prefix bound is structurally vacuous —
+    the droppable suffix is constructed to have potential JUST
+    under τ, and when every term is common the per-doc suffix
+    carries most of the weight, so exact_cos ≤ partial + dpa
+    filters almost nothing (measured: 531M candidate pairs → 447M
+    bound survivors → 212k true pairs; the survivor re-dot was 73%
+    of all core-seconds). Meanwhile the prefix drops only ~20% of
+    index rows there (nothing is rare), so the candidate set is
+    nearly full⋈full ANYWAY. The op therefore samples the corpus
+    vocabulary driver-side (tables.vocab_sample_distinct, O(1)
+    head batch) and, under ``spark.census.tfidf.smallVocabMax``
+    (default 2048 distinct terms in a 512-doc sample), switches to
+    the SINGLE-PASS exact plan: full⋈full inverted-index join,
+    one pair-scale groupBy summing the EXACT integer dot with the
+    norms carried as constants — no bound, no survivor joins, no
+    re-dot. Above the threshold (real web corpora, Heaps-law
+    vocabularies at scale) rare terms make the prefix selective
+    and suffix potentials small, so the prefix+bound plan keeps
+    its ≪ full⋈full candidate count and stays.
     """
     docs = t(spark, sf_dir, "documents")
     langs = docs.select("doc_id", "lang")
@@ -247,6 +344,11 @@ def dedup_tfidf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     norms = sig.groupBy("doc_id").agg(
         F.sum((F.col("w") * F.col("w")).cast(_D38)).alias("nsq")
     )
+    small_vocab_max = int(
+        spark.conf.get(_SMALL_VOCAB_CONF, str(_SMALL_VOCAB_MAX))
+    )
+    if vocab_sample_distinct(sf_dir) <= small_vocab_max:
+        return _tfidf_cosine_small_vocab(spark, sig, norms)
     # prefix flags: x̂ = w/‖w‖; maxŵ(t) broadcast (vocab-sized); a
     # suffix (rarest-first order => common terms AT the suffix end) is
     # droppable iff its potential Σ x̂·maxŵ < τ; tails are monotone so

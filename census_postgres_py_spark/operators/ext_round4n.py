@@ -113,12 +113,62 @@ def hier_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
     return reduce(DataFrame.unionAll, levels)
 
 
+def _partkeys_fit_int32(sf_dir: str) -> bool:
+    """O(1) footer check: does every l_partkey fit int32? Reads the
+    parquet row-group column STATISTICS (min/max), never data pages —
+    the same footer-only discipline as tables.approx_rows. Falls back
+    to False (keep int64) when stats are absent or unreadable, so the
+    compaction can never be wrong, only missed."""
+    import os
+
+    try:
+        import pyarrow.parquet as pq
+
+        path = f"{sf_dir}/lineitem.parquet"
+        files = (
+            [
+                os.path.join(root, fn)
+                for root, _, fns in os.walk(path)
+                for fn in fns
+                if fn.endswith(".parquet")
+            ]
+            if os.path.isdir(path)
+            else [path]
+        )
+        hi, lo = -(2**63), 2**63
+        for fpath in files:
+            md = pq.ParquetFile(fpath).metadata
+            idx = md.schema.names.index("l_partkey")
+            for rg in range(md.num_row_groups):
+                stats = md.row_group(rg).column(idx).statistics
+                if stats is None or not stats.has_min_max:
+                    return False
+                hi = max(hi, stats.max)
+                lo = min(lo, stats.min)
+        return -(2**31) <= lo and hi <= 2**31 - 1
+    except Exception:
+        return False
+
+
 def _baskets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One row per order: the sorted array of its distinct parts —
-    the single shuffle that co-locates an order's lines."""
+    the single shuffle that co-locates an order's lines.
+
+    Partkeys compact to int32 when the parquet footer stats prove they
+    fit (r8 VERDICT item 3): the basket arrays, the edge pairs, the
+    adjacency lists, and the wedge-sort spill downstream are all built
+    from this column, so the cast halves the bytes of the entire graph
+    family's working set (measured heap impact in BASELINE.md's
+    triangle decade row). Consumers that surface partkeys re-widen to
+    long at their output boundary."""
     li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    key = (
+        F.col("l_partkey").cast("int")
+        if _partkeys_fit_int32(sf_dir)
+        else F.col("l_partkey")
+    )
     return li.groupBy("l_orderkey").agg(
-        F.array_sort(F.collect_set("l_partkey")).alias("ps")
+        F.array_sort(F.collect_set(key)).alias("ps")
     )
 
 
@@ -301,9 +351,10 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("pc")
     )
-    return corners.groupBy(F.col("pc.part").alias("l_partkey")).agg(
-        F.sum("pc.c").cast("long").alias("n_triangles")
-    )
+    return corners.groupBy(
+        # re-widen: baskets may carry int32-compacted partkeys
+        F.col("pc.part").cast("long").alias("l_partkey")
+    ).agg(F.sum("pc.c").cast("long").alias("n_triangles"))
 
 
 @register(

@@ -118,7 +118,57 @@ _BROADCAST_DIM_MAX_ROWS = 8_000_000
 #: show it small.
 VOCAB_ROWS_PER_DOC = 64
 
-_VOCAB_FACTOR_CACHE: dict[tuple, int] = {}
+_HEAD_SAMPLE_CACHE: dict[tuple, list[str]] = {}
+
+
+def _documents_head_sample(sf_dir: str, n: int = 512) -> list[str]:
+    """First ≤n document texts, read driver-side via pyarrow (one
+    column, one batch, no Spark job) and cached per (path, size,
+    mtime_ns). Serves the corpus-statistic planning gates
+    (:func:`vocab_rows_per_doc`, :func:`vocab_sample_distinct`).
+    Raises on a missing/unreadable table — callers own the fallback."""
+    import os
+
+    path = f"{sf_dir}/documents.parquet"
+    if os.path.isdir(path):
+        cands = [
+            os.path.join(root, fn)
+            for root, _, fns in os.walk(path)
+            for fn in sorted(fns)
+            if fn.endswith(".parquet")
+        ]
+        fpath = sorted(cands)[0]
+    else:
+        fpath = path
+    st = os.stat(fpath)
+    key = (fpath, st.st_size, st.st_mtime_ns, n)
+    hit = _HEAD_SAMPLE_CACHE.get(key)
+    if hit is not None:
+        return hit
+    import pyarrow.parquet as pq
+
+    pf = pq.ParquetFile(fpath)
+    batch = next(pf.iter_batches(batch_size=n, columns=["text"]))
+    texts = [txt or "" for txt in batch.column("text").to_pylist()]
+    _HEAD_SAMPLE_CACHE[key] = texts
+    return texts
+
+
+def vocab_sample_distinct(sf_dir: str, n: int = 512) -> int:
+    """Distinct whitespace-token count across the first ≤n documents —
+    the SMALL-VOCABULARY detector: a corpus whose 512-doc head sample
+    holds only a few thousand distinct terms is hub-dominated (every
+    term is common), which flips which near-dup plan wins (see
+    dedup_tfidf_cosine). Returns a large sentinel on a missing table so
+    callers default to the general-corpus plan."""
+    try:
+        texts = _documents_head_sample(sf_dir, n)
+    except Exception:
+        return 1 << 30
+    vocab: set[str] = set()
+    for txt in texts:
+        vocab.update(w for w in txt.split(" ") if w)
+    return len(vocab)
 
 
 def vocab_rows_per_doc(sf_dir: str) -> int:
@@ -134,40 +184,17 @@ def vocab_rows_per_doc(sf_dir: str) -> int:
     gate EARLIER, instead of letting the hint override Spark's size
     check past the ceiling. Still best-effort (a head sample can
     under-read a heavy tail — hence the 2× margin and the floor); the
-    gate's job is planning, not a hard memory guarantee. Cached per
-    (path, size, mtime_ns) so repeated gate reads cost nothing.
+    gate's job is planning, not a hard memory guarantee. The head
+    sample is cached per (path, size, mtime_ns) so repeated gate reads
+    cost nothing.
     """
-    import os
-
-    path = f"{sf_dir}/documents.parquet"
     try:
-        if os.path.isdir(path):
-            cands = [
-                os.path.join(root, fn)
-                for root, _, fns in os.walk(path)
-                for fn in sorted(fns)
-                if fn.endswith(".parquet")
-            ]
-            fpath = sorted(cands)[0]
-        else:
-            fpath = path
-        st = os.stat(fpath)
-        key = (fpath, st.st_size, st.st_mtime_ns)
-        hit = _VOCAB_FACTOR_CACHE.get(key)
-        if hit is not None:
-            return hit
-        import pyarrow.parquet as pq
-
-        pf = pq.ParquetFile(fpath)
-        batch = next(pf.iter_batches(batch_size=512, columns=["text"]))
+        texts = _documents_head_sample(sf_dir)
         max_terms = max(
-            (len({w for w in (txt or "").split(" ") if w})
-             for txt in batch.column("text").to_pylist()),
+            (len({w for w in txt.split(" ") if w}) for txt in texts),
             default=0,
         )
-        factor = max(VOCAB_ROWS_PER_DOC, 2 * max_terms)
-        _VOCAB_FACTOR_CACHE[key] = factor
-        return factor
+        return max(VOCAB_ROWS_PER_DOC, 2 * max_terms)
     except Exception:
         return VOCAB_ROWS_PER_DOC
 

@@ -92,6 +92,29 @@ def test_tfidf_cosine_matches_bruteforce(spark, queries):
         assert abs(got_map[k] - expected[k]) < 2e-6
 
 
+def test_tfidf_cosine_prefix_and_small_vocab_plans_agree(spark, queries):
+    """r9 plan gate: the fixture corpus takes the single-pass
+    small-vocab plan; forcing spark.census.tfidf.smallVocabMax=0
+    exercises the prefix+bound plan. Both must return byte-identical
+    pairs — the gate is a physical-plan choice, never a semantic one.
+    (This is also the prefix path's standing coverage now that every
+    small fixture routes to the single-pass plan.)"""
+    small = sorted(
+        map(tuple, queries["dedup_tfidf_cosine"](spark, SF_SMOKE).collect())
+    )
+    spark.conf.set("spark.census.tfidf.smallVocabMax", "0")
+    try:
+        prefix = sorted(
+            map(
+                tuple,
+                queries["dedup_tfidf_cosine"](spark, SF_SMOKE).collect(),
+            )
+        )
+    finally:
+        spark.conf.unset("spark.census.tfidf.smallVocabMax")
+    assert small and small == prefix
+
+
 def test_coverage_matrix_matches_pandas(spark, queries):
     from census_postgres_py_spark.tables import t
 
