@@ -140,11 +140,17 @@ def _tfidf_cosine_small_vocab(spark, sig, norms) -> DataFrame:
     big-vocab prefix path owns that regime (this path is only chosen
     when the sampled vocabulary is tiny, where df is uniform-ish by
     construction)."""
+    # norms ride the index rows as 8-byte doubles, not 16-byte decimals
+    # — the cast is deterministic and happens before the final cos
+    # division either way, so the value is bit-identical while the
+    # pair-scale shuffle drops ~16 bytes/row and min() gets cheaper
     nrm_a = norms.select(
-        F.col("doc_id").alias("da"), F.col("nsq").alias("na")
+        F.col("doc_id").alias("da"),
+        F.col("nsq").cast("double").alias("na"),
     )
     nrm_b = norms.select(
-        F.col("doc_id").alias("db"), F.col("nsq").alias("nb")
+        F.col("doc_id").alias("db"),
+        F.col("nsq").cast("double").alias("nb"),
     )
     a = sig.join(nrm_a, sig.doc_id == nrm_a.da).select(
         "da", "lang", "term", F.col("w").alias("wa"), "na"
@@ -174,9 +180,7 @@ def _tfidf_cosine_small_vocab(spark, sig, norms) -> DataFrame:
         )
     )
     cos = (
-        F.col("dot").cast("double")
-        / F.sqrt(F.col("na").cast("double"))
-        / F.sqrt(F.col("nb").cast("double"))
+        F.col("dot").cast("double") / F.sqrt(F.col("na")) / F.sqrt(F.col("nb"))
     )
     return dots.filter(cos >= _COS_TH).select(
         "da",
