@@ -95,6 +95,13 @@ def main() -> None:
             "graph_triangle_count", "/tmp/stress_graph1",
             "/tmp/stress_graph100",
         ),
+        "dedup_tfidf_cosine_web": (
+            # |V| = 200·√n (gen_stress --webdocs-only): the corpus that
+            # exercises the PREFIX+BOUND plan at scale (head-sample
+            # vocab 4.8k/7.7k >> the 2048 small-vocab gate)
+            "dedup_tfidf_cosine", "/tmp/stress_web_1x",
+            "/tmp/stress_web_100x",
+        ),
         "win_sessionize": (
             "win_sessionize", "/tmp/stress_events1",
             "/tmp/stress_events100",

@@ -410,6 +410,51 @@ def gen_documents_heaps(n: int, rng: np.random.Generator) -> pa.Table:
     )
 
 
+def gen_documents_web(n: int, rng: np.random.Generator) -> pa.Table:
+    """Documents with a WEB-SCALE vocabulary (|V| = 200·√n, Zipf-1.05
+    frequencies, 3% near-dup rate) — the corpus where
+    dedup_tfidf_cosine's PREFIX+BOUND plan is the right one and must
+    be measured: rare terms exist (a 512-doc head sample holds far
+    more than the small-vocab gate's 2048 distinct terms), so the
+    rarest-first prefix is selective and the suffix bound bites.
+    Complements gen_documents_heaps (|V| = 1.8·√n), whose hub
+    vocabulary routes to the single-pass plan."""
+    vocab_n = max(4000, int(round(200.0 * n**0.5)))
+    words = np.array([f"w{i:06d}" for i in range(vocab_n)])
+    p = 1.0 / np.power(np.arange(1, vocab_n + 1), 1.05)
+    p /= p.sum()
+    texts: list[str] = []
+    base_cache: list[str] = []
+    for i in range(n):
+        if base_cache and rng.random() < 0.03:
+            toks = base_cache[int(rng.integers(len(base_cache)))].split()
+            for _ in range(max(1, len(toks) // 20)):
+                toks[int(rng.integers(len(toks)))] = words[
+                    int(rng.choice(vocab_n, p=p))
+                ]
+            txt = " ".join(toks)
+        else:
+            k = int(rng.integers(8, 90))
+            txt = " ".join(words[rng.choice(vocab_n, size=k, p=p)])
+            if len(base_cache) < 512:
+                base_cache.append(txt)
+        texts.append(txt)
+    lang = rng.choice(LANGS, size=n, p=LANG_P)
+    return pa.table(
+        {
+            "doc_id": pa.array(np.arange(n), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(lang, pa.string()),
+            "source": pa.array(
+                [f"src{i % 20}" for i in range(n)], pa.string()
+            ),
+            "n_chars": pa.array(
+                np.array([len(s) for s in texts]), pa.int64()
+            ),
+        }
+    )
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="/tmp/stress_sf1")
@@ -449,6 +494,15 @@ def main() -> None:
         "on one custkey) for the salted-join vs AQE-skew-split A/B",
     )
     ap.add_argument(
+        "--webdocs-only",
+        action="store_true",
+        help="only the web-vocabulary document pair "
+        "(<out>_1x and <out>_<mult>x; |V|=200*sqrt(n)) — the corpus "
+        "that exercises dedup_tfidf_cosine's prefix+bound plan at "
+        "scale (the Heaps/fixture corpora route to the single-pass "
+        "small-vocab plan)",
+    )
+    ap.add_argument(
         "--events-only",
         action="store_true",
         help="only the events table (fully vectorized — practical at "
@@ -475,6 +529,14 @@ def main() -> None:
             f"wrote {orders.num_rows} orders (half on one custkey), "
             f"{customer.num_rows} customer -> {args.out}"
         )
+        return
+    if args.webdocs_only:
+        for tag, nn in (("1x", 5000), (f"{args.mult}x", 5000 * args.mult)):
+            wd = f"{args.out}_{tag}"
+            os.makedirs(wd, exist_ok=True)
+            wt = gen_documents_web(nn, np.random.default_rng(11))
+            pq.write_table(wt, os.path.join(wd, "documents.parquet"))
+            print(f"wrote {wt.num_rows} web-vocab documents -> {wd}")
         return
     if args.events_only:
         ev = gen_events(args.mult, rng)

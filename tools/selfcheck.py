@@ -12,6 +12,7 @@ Usage:
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 import time
 import traceback
@@ -126,6 +127,11 @@ def main() -> int:
 
     con = duckdb.connect()
     for name in TABLES:
+        # table-subset corpora (e.g. the documents-only web-vocab
+        # stress dirs) register only the files they carry — an oracle
+        # referencing a missing view fails per-query, as it should
+        if not os.path.exists(f"{args.sf_dir}/{name}.parquet"):
+            continue
         con.sql(
             f"CREATE VIEW {name} AS SELECT * FROM "
             f"read_parquet('{args.sf_dir}/{name}.parquet')"
