@@ -266,30 +266,14 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _exact_jaccard_pairs(shingled, candidates)
 
 
-@register("dedup_simhash")  # bit-band candidate gen => rows-only check
-def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash (64-bit) near-dup detection.
-
-    Per doc: tokens -> xxhash64 -> per-bit +/-1 votes -> sign bits ->
-    64-bit fingerprint. Candidates via 8-bit byte bands: Hamming
-    distance <= 3 flips at most 3 of the 8 bands, so at least one band
-    matches exactly (pigeonhole; the guarantee holds up to 7 flips) —
-    an equi-join on (band_idx, band) finds every such pair without n²
-    comparisons. Exact Hamming filter (k=3, the classic 64-bit simhash
-    near-dup radius) on candidates. 64 bits / 8-bit bands (256 values
-    per band) keeps per-band collisions rare at real corpus sizes,
-    where a 16-bit fingerprint's 4-bit nibbles would collide on
-    virtually every pair. Measured on the injected drop-2-tokens
-    mutations at sf0.01: Hamming distribution mean 2.5 / p75 3.25, so
-    k=3 recovers ~75% of them — simhash is the coarse/cheap screen;
-    dedup_minhash is the high-recall path (finds 100%, tests assert).
-    """
+def _simhash_fp(with_dups: DataFrame) -> DataFrame:
+    """(doc_id, simhash) 64-bit fingerprints: tokens -> xxhash64 ->
+    per-bit ±1 votes -> sign bits. Module-level so the band-width
+    invariance test can cross-join it for the candidate-free exact
+    Hamming answer without re-deriving the vote logic."""
     from functools import reduce
 
     n_bits = 64
-    n_bands = 8
-    band_width = n_bits // n_bands
-    with_dups = _with_dups(spark, sf_dir)
     toks = with_dups.select("doc_id", F.explode(tokens("text")).alias("tok"))
     h = F.xxhash64("tok")
     votes = toks.groupBy("doc_id").agg(
@@ -302,7 +286,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i in range(n_bits)
         ]
     )
-    fp = votes.select(
+    return votes.select(
         "doc_id",
         reduce(
             lambda acc, c: acc.bitwiseOR(c),
@@ -317,6 +301,37 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             ],
         ).alias("simhash"),
     )
+
+
+@register("dedup_simhash")  # bit-band candidate gen => rows-only check
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash (64-bit) near-dup detection.
+
+    Per doc: tokens -> xxhash64 -> per-bit +/-1 votes -> sign bits ->
+    64-bit fingerprint. Candidates via 16-bit bands: Hamming distance
+    <= 3 flips at most 3 of the 4 bands, so at least one band matches
+    exactly (pigeonhole, tight at k=3 = the classic 64-bit simhash
+    near-dup radius) — an equi-join on (band_idx, band) finds every
+    such pair without n² comparisons, and the exact Hamming filter on
+    candidates makes the OUTPUT invariant to band width: any pair a
+    narrower banding would additionally collide has Hamming >= 4 and
+    is dropped by the filter anyway. Band width is therefore purely a
+    collision-cost knob, and it is the scale-critical one: expected
+    same-bucket pairs are ~n²/2^width per band, so the former 8-bit
+    bands (256 buckets) go quadratic by ~100k docs (measured: the
+    500k-doc stress corpus projects ~7.6e9 candidate votes) while
+    16-bit bands (65,536 buckets) keep the same corpus at ~15M — the
+    Manku/Google multi-table layout, byte-identical output (pinned by
+    tests/test_dedup.py::test_simhash_band_width_is_output_invariant).
+    Measured on the injected drop-2-tokens mutations at sf0.01:
+    Hamming distribution mean 2.5 / p75 3.25, so k=3 recovers ~75% of
+    them — simhash is the coarse/cheap screen; dedup_minhash is the
+    high-recall path (finds 100%, tests assert).
+    """
+    n_bits = 64
+    n_bands = 4
+    band_width = n_bits // n_bands
+    fp = _simhash_fp(_with_dups(spark, sf_dir))
     bands = fp.select(
         "doc_id",
         "simhash",
@@ -326,7 +341,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.struct(
                         F.lit(i).alias("band_idx"),
                         F.shiftright("simhash", band_width * i)
-                        .bitwiseAND(F.lit(0xFF))
+                        .bitwiseAND(F.lit((1 << band_width) - 1))
                         .alias("band"),
                     )
                     for i in range(n_bands)
@@ -734,34 +749,72 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     tiny Jaccard but containment 1.0); training-data pipelines filter
     on containment precisely to kill boilerplate-wrapped copies.
 
-    Same inverted shingle index as `dedup_ngram_jaccard` — one explode
-    + equi-join, cost ∝ shingle collisions, never n² — but pairs are
-    kept ORDERED (both directions scored), since C(A→B) ≠ C(B→A).
-    The injected truncated copies are fully contained in their
-    originals (containment 1.0) while the reverse direction drops
-    below 1.0 by exactly the two clipped shingles.
+    Same inverted shingle index as `dedup_ngram_jaccard`, with the
+    asymmetric-threshold PREFIX filter (the SSJoin/PPJoin idea carried
+    to containment): C(A→B) ≥ 0.9 means at most ⌊0.1·|A|⌋ of A's
+    shingles can miss B, so among A's ⌊0.1·|A|⌋+1 globally-RAREST
+    shingles (ascending document frequency, shingle tiebreak — same
+    order `_inverted_index_jaccard` uses) at least one is in B —
+    recall is exactly 1 by pigeonhole. Only that ~10% prefix of the
+    a-side is indexed against the FULL b-side index, so candidate
+    votes fall from Σ_s df(s)² (the naive two-full-index join, which
+    grows quadratically on hub shingles — a shared-vocabulary 500k-doc
+    corpus projects ~9e9 votes) to Σ_s df_prefix(s)·df(s), with hot
+    shingles sitting at the END of the rarity order, mostly outside
+    every prefix. Candidates are ORDERED pairs (C(A→B) ≠ C(B→A); both
+    directions are generated and scored independently) and survivors
+    are re-scored exactly with a JVM-side ``array_intersect``, the
+    unrounded ≥ 0.9 cut applied there — output is row-identical to the
+    naive plan and the DuckDB oracle (pinned by
+    tests/test_dedup.py::test_containment_prefix_plan_matches_naive).
+    The prefix length uses exact integer arithmetic
+    (n − (9n+9) DIV 10 + 1 = n − ⌈0.9n⌉ + 1): a float 0.1·n could
+    round a boundary length down and silently lose the recall
+    guarantee. The injected truncated copies are fully contained in
+    their originals (containment 1.0) while the reverse direction
+    drops below 1.0 by exactly the two clipped shingles.
     """
     shingled = _shingled(_with_dups(spark, sf_dir))
-    ex = shingled.select("doc_id", F.explode("shingles").alias("shingle"))
-    a = ex.select(F.col("doc_id").alias("a_id"), "shingle")
-    b = ex.select(F.col("doc_id").alias("b_id"), "shingle")
-    pairs = (
-        a.join(b, "shingle")
+    ex = shingled.select(
+        "doc_id", "n_sh", F.explode("shingles").alias("shingle")
+    )
+    df_rank = ex.groupBy("shingle").agg(F.count("*").alias("df"))
+    prefix = (
+        ex.join(df_rank, "shingle")
+        .withColumn(
+            "pos",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy("df", "shingle")
+            ),
+        )
+        .filter(F.col("pos") <= F.expr("n_sh - (9 * n_sh + 9) DIV 10 + 1"))
+        .select(F.col("doc_id").alias("a_id"), "shingle")
+    )
+    full = ex.select(F.col("doc_id").alias("b_id"), "shingle")
+    cand = (
+        prefix.join(full, "shingle")
         .filter(F.col("a_id") != F.col("b_id"))
-        .groupBy("a_id", "b_id")
-        .agg(F.count("*").alias("common"))
+        .select("a_id", "b_id")
+        .distinct()
     )
-    na = shingled.select(
-        F.col("doc_id").alias("a_id"), F.col("n_sh").alias("a_n")
+    av = shingled.select(
+        F.col("doc_id").alias("a_id"),
+        F.col("shingles").alias("a_sh"),
+        F.col("n_sh").alias("a_n"),
     )
-    cont = F.col("common").cast("double") / F.col("a_n")
+    bv = shingled.select(
+        F.col("doc_id").alias("b_id"), F.col("shingles").alias("b_sh")
+    )
+    common = F.size(F.array_intersect("a_sh", "b_sh")).cast("long")
+    cont = common.cast("double") / F.col("a_n")
     return (
-        pairs.join(na, "a_id")
-        .filter(cont >= 0.9)
+        cand.join(av, "a_id")
+        .join(bv, "b_id")
+        .where(cont >= 0.9)
         .select(
             "a_id",
             "b_id",
-            F.col("common").cast("long").alias("common"),
+            common.alias("common"),
             F.round(cont, 4).alias("containment"),
         )
     )

@@ -141,6 +141,78 @@ def test_containment_is_asymmetric(spark, queries):
     assert any(c < 1.0 for c in present)
 
 
+def test_containment_prefix_plan_matches_naive(spark, queries):
+    # The prefix-filtered candidate plan must be row-identical to the
+    # naive two-full-index join (the pigeonhole guarantee is recall=1,
+    # the array_intersect re-score is the same |A∩B| the join counts).
+    from pyspark.sql import functions as F
+
+    from census_postgres_py_spark.operators.dedup import (
+        _shingled,
+        _with_dups,
+    )
+
+    shingled = _shingled(_with_dups(spark, SF_SMOKE))
+    ex = shingled.select("doc_id", F.explode("shingles").alias("shingle"))
+    a = ex.select(F.col("doc_id").alias("a_id"), "shingle")
+    b = ex.select(F.col("doc_id").alias("b_id"), "shingle")
+    pairs = (
+        a.join(b, "shingle")
+        .filter(F.col("a_id") != F.col("b_id"))
+        .groupBy("a_id", "b_id")
+        .agg(F.count("*").alias("common"))
+    )
+    na = shingled.select(
+        F.col("doc_id").alias("a_id"), F.col("n_sh").alias("a_n")
+    )
+    cont = F.col("common").cast("double") / F.col("a_n")
+    naive = (
+        pairs.join(na, "a_id")
+        .filter(cont >= 0.9)
+        .select(
+            "a_id",
+            "b_id",
+            F.col("common").cast("long").alias("common"),
+            F.round(cont, 4).alias("containment"),
+        )
+    )
+    got = sorted(
+        map(tuple, queries["dedup_containment"](spark, SF_SMOKE).collect())
+    )
+    want = sorted(map(tuple, naive.collect()))
+    assert got == want
+
+
+def test_simhash_band_width_is_output_invariant(spark, queries):
+    # The banding is candidate GENERATION only; the exact Hamming<=3
+    # filter decides membership. So the op must equal the candidate-
+    # free all-pairs answer computed straight off the fingerprints —
+    # this is what licenses widening 8-bit bands to 16-bit (256x fewer
+    # bucket collisions at scale) without touching output.
+    from pyspark.sql import functions as F
+
+    from census_postgres_py_spark.operators.dedup import (
+        _simhash_fp,
+        _with_dups,
+    )
+
+    fp = _simhash_fp(_with_dups(spark, SF_SMOKE))
+    a = fp.select(F.col("doc_id").alias("a_id"), F.col("simhash").alias("a_fp"))
+    b = fp.select(F.col("doc_id").alias("b_id"), F.col("simhash").alias("b_fp"))
+    ham = F.bit_count(F.col("a_fp").bitwiseXOR(F.col("b_fp")))
+    brute = (
+        a.crossJoin(b)
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", ham.cast("long").alias("hamming"))
+        .filter(F.col("hamming") <= 3)
+    )
+    got = sorted(
+        map(tuple, queries["dedup_simhash"](spark, SF_SMOKE).collect())
+    )
+    want = sorted(map(tuple, brute.collect()))
+    assert got == want
+
+
 def test_embedding_cosine_has_no_driver_collect():
     """Round-2 verdict scale-killer: the op collected the whole
     embeddings table to the driver. The block-pair rewrite must keep
