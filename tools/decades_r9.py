@@ -76,8 +76,35 @@ def main() -> None:
             .filter(F.col("rn") <= 3)
         )
 
+    def _uncapped_docs(spark, sf_dir):
+        # same seam as tools/stress_bench.py: lift the oracle-sized
+        # doc_id < 200 cap so the dedup family processes the FULL
+        # corpus; repartition because the synthetic corpus is one file
+        from census_postgres_py_spark.tables import t
+
+        return (
+            t(spark, sf_dir, "documents")
+            .select("doc_id", "text")
+            .repartition(spark.sparkContext.defaultParallelism)
+        )
+
+    def _uncapped(name):
+        def run(spark, sf_dir):
+            from census_postgres_py_spark.operators import dedup
+
+            orig = dedup._with_dups
+            dedup._with_dups = _uncapped_docs
+            try:
+                return qs[name](spark, sf_dir)
+            finally:
+                dedup._with_dups = orig
+
+        return run
+
     qs = dict(qs)
     qs["_topk_batch_twin"] = _topk_batch_twin
+    for _dd in ("dedup_ngram_jaccard", "dedup_containment", "dedup_simhash"):
+        qs[f"{_dd}_uncapped"] = _uncapped(_dd)
     RUNS = {
         "dedup_tfidf_cosine": (
             "dedup_tfidf_cosine", "/tmp/stress_heaps_1x",
@@ -100,6 +127,44 @@ def main() -> None:
             # exercises the PREFIX+BOUND plan at scale (head-sample
             # vocab 4.8k/7.7k >> the 2048 small-vocab gate)
             "dedup_tfidf_cosine", "/tmp/stress_web_1x",
+            "/tmp/stress_web_100x",
+        ),
+        # r9 continuation: the remaining shingle-dedup family, uncapped
+        # (full corpus via the _with_dups seam), on BOTH corpus shapes.
+        # Web vocabulary (|V|=200*sqrt(n), shingles mostly unique — the
+        # shape shingle dedup is deployed on): full two decades. 40-word
+        # hub vocabulary (every shingle hot; candidate floor ~n²/|V|):
+        # ONE decade — at 100x the pair-candidate set itself is ~1e9
+        # rows and the exact verify's array shuffle (~1 KB/candidate)
+        # needs ~1 TB of shuffle spill, which a 1000-executor cluster
+        # absorbs at ~1 GB/node but this box's /tmp cannot (measured:
+        # ENOSPC at 80 GB free — same disk-not-heap bound class as the
+        # triangle 16 g note in BASELINE.md).
+        "dedup_ngram_jaccard_hub10": (
+            "dedup_ngram_jaccard_uncapped", "/tmp/stress_docs_1x",
+            "/tmp/stress_docs_10x",
+        ),
+        "dedup_ngram_jaccard_web": (
+            "dedup_ngram_jaccard_uncapped", "/tmp/stress_web_1x",
+            "/tmp/stress_web_100x",
+        ),
+        "dedup_containment_hub10": (
+            "dedup_containment_uncapped", "/tmp/stress_docs_1x",
+            "/tmp/stress_docs_10x",
+        ),
+        "dedup_containment_web": (
+            "dedup_containment_uncapped", "/tmp/stress_web_1x",
+            "/tmp/stress_web_100x",
+        ),
+        "dedup_simhash_hub100": (
+            # simhash ships 8-byte fingerprints, not arrays — the 100x
+            # hub corpus is in reach for it (collision cost is banding,
+            # not shingle df)
+            "dedup_simhash_uncapped", "/tmp/stress_docs_1x",
+            "/tmp/stress_docs_100x",
+        ),
+        "dedup_simhash_web": (
+            "dedup_simhash_uncapped", "/tmp/stress_web_1x",
             "/tmp/stress_web_100x",
         ),
         "win_sessionize": (
