@@ -106,6 +106,10 @@ def main() -> int:
         .config("spark.ui.enabled", "false")
         .config("spark.eventLog.enabled", "true")
         .config("spark.eventLog.dir", log_dir)
+        # plain-text logs: the zstd CLI is not guaranteed on this box
+        # (the .zstd branch in stage_rows stays as a fallback reader)
+        .config("spark.eventLog.compress", "false")
+        .config("spark.eventLog.rolling.enabled", "false")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
