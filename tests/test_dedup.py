@@ -213,6 +213,28 @@ def test_simhash_band_width_is_output_invariant(spark, queries):
     assert got == want
 
 
+def test_shingle_checkpoint_gate_is_output_invariant(spark, queries):
+    # Force the shared-shingled checkpoint gate OPEN at fixture scale
+    # and pin that every gated op's output is unchanged — the
+    # checkpoint is a materialization point, never a semantic one.
+    from census_postgres_py_spark.operators.dedup import (
+        SHINGLE_CHECKPOINT_CONF,
+    )
+
+    ids = ("dedup_ngram_jaccard", "dedup_containment", "dedup_simhash")
+    base = {
+        q: sorted(map(tuple, queries[q](spark, SF_SMOKE).collect()))
+        for q in ids
+    }
+    spark.conf.set(SHINGLE_CHECKPOINT_CONF, "1")
+    try:
+        for q in ids:
+            got = sorted(map(tuple, queries[q](spark, SF_SMOKE).collect()))
+            assert got == base[q], q
+    finally:
+        spark.conf.unset(SHINGLE_CHECKPOINT_CONF)
+
+
 def test_embedding_cosine_has_no_driver_collect():
     """Round-2 verdict scale-killer: the op collected the whole
     embeddings table to the driver. The block-pair rewrite must keep

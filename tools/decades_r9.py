@@ -101,9 +101,24 @@ def main() -> None:
 
         return run
 
+    def _cc_pipeline(spark, sf_dir):
+        # the composed dedup lifecycle (candidates -> exact verify ->
+        # CC -> survivor per cluster) uncapped — same dataflow
+        # stress_bench measures at 10x, pushed to the second decade
+        import stress_bench
+
+        return stress_bench._cc_pipeline_uncapped(spark, sf_dir)
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     qs = dict(qs)
     qs["_topk_batch_twin"] = _topk_batch_twin
-    for _dd in ("dedup_ngram_jaccard", "dedup_containment", "dedup_simhash"):
+    qs["_cc_pipeline"] = _cc_pipeline
+    for _dd in (
+        "dedup_ngram_jaccard",
+        "dedup_containment",
+        "dedup_simhash",
+        "dedup_minhash",
+    ):
         qs[f"{_dd}_uncapped"] = _uncapped(_dd)
     RUNS = {
         "dedup_tfidf_cosine": (
@@ -166,6 +181,14 @@ def main() -> None:
         "dedup_simhash_web": (
             "dedup_simhash_uncapped", "/tmp/stress_web_1x",
             "/tmp/stress_web_100x",
+        ),
+        "pipeline_dedup_cc_web": (
+            "_cc_pipeline", "/tmp/stress_web_1x", "/tmp/stress_web_100x",
+        ),
+        "dedup_minhash_hub100": (
+            # re-measure of the r6 row (345.3 s) under _shared_shingled
+            "dedup_minhash_uncapped", "/tmp/stress_docs_1x",
+            "/tmp/stress_docs_100x",
         ),
         "win_sessionize": (
             "win_sessionize", "/tmp/stress_events1",
