@@ -75,6 +75,18 @@ def _with_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.unionByName(dups)
 
 
+def _with_dups_input_rows(spark: SparkSession, sf_dir: str) -> int:
+    """O(1) upper bound on _with_dups' output rows (originals + one
+    mutated copy of each, capped at 200 originals) from the parquet
+    footer — lets the checkpoint gate answer without a Spark job."""
+    from census_postgres_py_spark.tables import approx_rows
+
+    return 2 * min(200, approx_rows(spark, sf_dir, "documents"))
+
+
+_with_dups.input_rows = _with_dups_input_rows
+
+
 def _shingled(df: DataFrame) -> DataFrame:
     return df.select(
         "doc_id", word_shingles(tokens("text"), 3).alias("shingles")
@@ -96,21 +108,34 @@ SHINGLE_CHECKPOINT_CONF = "spark.census.dedup.checkpointMinDocs"
 _SHINGLE_CHECKPOINT_MIN_DOCS = 20_000
 
 
-def _docs_at_scale(spark: SparkSession, docs: DataFrame) -> bool:
-    """count() is the honest gate: the input may be the capped fixture
-    union, a stress-harness full corpus, or anything the _with_dups
-    seam supplies — a footer row count of `documents` can't see the
-    cap. The count is a cheap columnar job (embedding_cosine sets the
-    same precedent for its tiling gate)."""
+def _input_docs_rows(spark: SparkSession, sf_dir: str, docs: DataFrame) -> int:
+    """Row count of the op's REAL input for the checkpoint gate.
+
+    ``_with_dups`` is resolved at CALL time (module global), so the
+    stress harnesses' seam swap is visible here: the default provider
+    carries an ``input_rows`` probe that answers from the parquet
+    footer + its own static cap — O(1), no Spark job, so the gate is
+    free on every registered/bench/driver call (a naive docs.count()
+    measured +0.5-0.7 s warm per query). A swapped provider without
+    the probe falls back to the honest count() — only paid at stress
+    scale, where it is noise (embedding_cosine's tiling-gate
+    precedent)."""
+    probe = getattr(_with_dups, "input_rows", None)
+    return probe(spark, sf_dir) if probe is not None else docs.count()
+
+
+def _docs_at_scale(spark: SparkSession, sf_dir: str, docs: DataFrame) -> bool:
     limit = int(
         spark.conf.get(
             SHINGLE_CHECKPOINT_CONF, str(_SHINGLE_CHECKPOINT_MIN_DOCS)
         )
     )
-    return docs.count() >= limit
+    return _input_docs_rows(spark, sf_dir, docs) >= limit
 
 
-def _shared_shingled(spark: SparkSession, docs: DataFrame) -> DataFrame:
+def _shared_shingled(
+    spark: SparkSession, sf_dir: str, docs: DataFrame
+) -> DataFrame:
     """Shingle-set frame, materialized once when the corpus is big
     enough that per-subtree recompute dominates (see
     SHINGLE_CHECKPOINT_CONF). localCheckpoint, like the triangle op's
@@ -118,7 +143,7 @@ def _shared_shingled(spark: SparkSession, docs: DataFrame) -> DataFrame:
     executor re-runs the job, the right trade for a derived frame that
     is cheap to rebuild but expensive to rebuild FOUR times."""
     sh = _shingled(docs)
-    return sh.localCheckpoint() if _docs_at_scale(spark, docs) else sh
+    return sh.localCheckpoint() if _docs_at_scale(spark, sf_dir, docs) else sh
 
 
 def _exact_jaccard_pairs(shingled: DataFrame, candidates: DataFrame) -> DataFrame:
@@ -179,7 +204,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus (measured 317 → 27.6 s at the 500k-doc web corpus).
     """
     return _inverted_index_jaccard(
-        _shared_shingled(spark, _with_dups(spark, sf_dir))
+        _shared_shingled(spark, sf_dir, _with_dups(spark, sf_dir))
     )
 
 
@@ -277,7 +302,7 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     (_shared_shingled): the signature build and both exact-verify
     sides otherwise each re-shingle the corpus.
     """
-    shingled = _shared_shingled(spark, _with_dups(spark, sf_dir))
+    shingled = _shared_shingled(spark, sf_dir, _with_dups(spark, sf_dir))
     ex = shingled.select("doc_id", F.explode("shingles").alias("shingle"))
     sig = ex.groupBy("doc_id").agg(
         *[
@@ -380,7 +405,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     band_width = n_bits // n_bands
     docs = _with_dups(spark, sf_dir)
     fp = _simhash_fp(docs)
-    if _docs_at_scale(spark, docs):
+    if _docs_at_scale(spark, sf_dir, docs):
         # both band-join sides consume fp; past fixture scale the
         # 64-sum vote aggregation is too expensive to run twice
         fp = fp.localCheckpoint()
@@ -829,7 +854,7 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     full-index, and both verify subtrees otherwise each re-shingle the
     corpus (measured 324 → 30.5 s at the 500k-doc web corpus).
     """
-    shingled = _shared_shingled(spark, _with_dups(spark, sf_dir))
+    shingled = _shared_shingled(spark, sf_dir, _with_dups(spark, sf_dir))
     ex = shingled.select(
         "doc_id", "n_sh", F.explode("shingles").alias("shingle")
     )
