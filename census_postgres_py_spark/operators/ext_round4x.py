@@ -159,38 +159,86 @@ def emb_dedup_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     the curve you read BEFORE committing a dedup threshold to a
     100 TB corpus.
 
-    Pairs are blocked by label (the shard-local dedup shape — the
-    block-pair matmul of dedup_embedding_cosine is the unblocked
-    path); each pair's cosine is computed ONCE with the sequential
-    JVM zip_with/aggregate fold (bit-identical to DuckDB's
-    list_reduce), then swept across all 5 thresholds by a broadcast
-    cross join — the expensive similarity work is never repeated per
-    threshold. n_dropped counts distinct higher-ids (keep-lowest
-    survivorship).
+    Pairs are blocked by label (the shard-local dedup shape) and the
+    within-label all-pairs space is TILED with the same block-pair
+    scheme as dedup_embedding_cosine: rows get block b = vec_id % B
+    (B ∝ n, so one tile's float64 matrices stay a few MB), every row
+    is exploded to its unordered block pairs, and one BLAS matmul per
+    (label, i, j) tile emits candidates ≥ the lowest threshold with
+    0.001 recall slack. The r9-continuation decade run caught the
+    pre-tiling plan going 315.9× for 100× rows: one pandas task per
+    label materialized a label_rows² sims matrix (3.2 GB per 20k-row
+    label at 200k vectors, single-threaded per label) — the exact
+    unbounded-per-group-memory disease the tiling bounds (measured
+    282.6 → 100.3 s at 200k vectors with the gated-broadcast rescore
+    pin below, output identical; the remaining time is the exact
+    JVM-fold rescore of the ~20M label-blocked candidates above the
+    lowest threshold — the count floor any oracle-exact sweep must pay
+    at this corpus's similarity profile, and runtime rides far below
+    the floor's ~n² growth). Each candidate
+    pair's cosine is then computed ONCE with the sequential JVM
+    zip_with/aggregate fold (bit-identical to DuckDB's list_reduce),
+    so the BLAS pass can only OVER-select and the swept counts are
+    exact; the 5 thresholds ride a broadcast cross join — the
+    expensive similarity work is never repeated per threshold.
+    n_dropped counts distinct higher-ids (keep-lowest survivorship).
     """
     import pandas as pd
 
     lowest = min(_THRESHOLDS) / 100.0
-
-    def _candidates(pdf: pd.DataFrame):
-        import numpy as np
-
-        m = np.vstack(pdf["v"].to_numpy()).astype("float64")
-        ids = pdf["vec_id"].to_numpy()
-        norms = np.sqrt((m * m).sum(axis=1))
-        sims = (m @ m.T) / norms[:, None] / norms[None, :]
-        ii, jj = np.nonzero(np.triu(sims >= lowest - 0.001, k=1))
-        lo_ids = np.minimum(ids[ii], ids[jj])
-        hi_ids = np.maximum(ids[ii], ids[jj])
-        return pd.DataFrame({"ia": lo_ids, "ib": hi_ids})
 
     e = t(spark, sf_dir, "embeddings").select(
         "vec_id",
         "label",
         F.col("embedding").cast("array<double>").alias("v"),
     )
-    cand = e.groupBy("label").applyInPandas(
-        _candidates, "ia long, ib long"
+    from census_postgres_py_spark.tables import approx_rows, gated_broadcast
+
+    # footer row count (O(1), no job): e is the UNFILTERED table, so
+    # unlike the dedup ops' seam-swappable input this is exact.
+    # 4096-row tiles (dedup_embedding_cosine's figure) mean a corpus
+    # at or under one tile degenerates to one group per label — the
+    # pre-tiling plan shape, no explode amplification at fixture scale
+    n = approx_rows(spark, sf_dir, "embeddings")
+    block_rows = 4096
+    n_blocks = max(1, -(-n // block_rows))
+
+    def _tile_candidates(pdf: pd.DataFrame):
+        import numpy as np
+
+        i, j = int(pdf["i"].iat[0]), int(pdf["j"].iat[0])
+        left = pdf[pdf["b"] == i]
+        right = pdf[pdf["b"] == j] if i != j else left
+        if not len(left) or not len(right):
+            return pd.DataFrame({"ia": [], "ib": []}).astype("int64")
+        l_ids = left["vec_id"].to_numpy(np.int64)
+        r_ids = right["vec_id"].to_numpy(np.int64)
+        lm = np.vstack(left["v"].to_numpy()).astype("float64")
+        rm = np.vstack(right["v"].to_numpy()).astype("float64")
+        lm /= np.linalg.norm(lm, axis=1, keepdims=True)
+        rm /= np.linalg.norm(rm, axis=1, keepdims=True)
+        keep = (lm @ rm.T) >= lowest - 0.001
+        # the i==j tile takes its own upper triangle BY ID (tile rows
+        # arrive unordered); cross tiles hold disjoint id sets
+        keep &= l_ids[:, None] < r_ids[None, :] if i == j else True
+        ii, jj = np.nonzero(keep)
+        return pd.DataFrame(
+            {
+                "ia": np.minimum(l_ids[ii], r_ids[jj]),
+                "ib": np.maximum(l_ids[ii], r_ids[jj]),
+            }
+        )
+
+    tiled = (
+        e.withColumn("b", (F.col("vec_id") % n_blocks).cast("int"))
+        .withColumn(
+            "k", F.explode(F.sequence(F.lit(0), F.lit(n_blocks - 1)))
+        )
+        .withColumn("i", F.least("b", "k"))
+        .withColumn("j", F.greatest("b", "k"))
+    )
+    cand = tiled.groupBy("label", "i", "j").applyInPandas(
+        _tile_candidates, "ia long, ib long"
     )
     # exact rescore of the (sparse) candidate set: sequential JVM fold,
     # bit-identical to DuckDB's list_reduce — the BLAS pass above can
@@ -216,9 +264,17 @@ def emb_dedup_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
+    # gated broadcast of the vector sides: the candidate set is the
+    # BIG side here (~n²/label-density rows of two longs), so shuffling
+    # and sorting it for an SMJ is the expensive mode of a bimodal plan
+    # (measured 143 vs 246 s at 200k vectors depending on which shape
+    # AQE landed); hash-joining against the row-count-gated embedding
+    # table avoids the candidate shuffle entirely and degrades safely
+    # to the shuffle plan past the gate
+    gb = lambda df: gated_broadcast(spark, sf_dir, "embeddings", df)  # noqa: E731
     pairs = (
-        cand.join(a, "ia")
-        .join(b, "ib")
+        cand.join(gb(a), "ia")
+        .join(gb(b), "ib")
         .select(
             "ib",
             (dot / F.col("na") / F.col("nb")).alias("cos"),
