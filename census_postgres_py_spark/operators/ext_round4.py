@@ -4,9 +4,8 @@ Fourth-round widening along the axes real pipelines ask for next:
 web-corpus URL canonicalization, ML feature encoding, batch
 sessionization + streaks, basket co-occurrence, deterministic A/B
 reads, readability scoring, boilerplate-prefix dedup, and EMA
-smoothing. Registered AFTER the r4 grading window (registry
-_WINDOW_PRIORITY pins ids 1-82; these join the tail and rotate into
-the r5/r6 windows).
+smoothing. Registered after the r4 grading window; driver-graded via
+the r5/r6 rotation (window machinery retired in r10 — see registry.py).
 
 Same contract discipline as every other module: identical aliases on
 both engines, integer/decimal accumulation wherever a sum can wrap,

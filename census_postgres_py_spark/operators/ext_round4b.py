@@ -17,9 +17,8 @@ engines, so the hash compare is exact), epoch-millis timestamp export,
 and `nullif` guards wherever a divisor could be zero so NULL
 propagation — not engine-specific div-by-zero behavior — decides.
 
-Registered AFTER the r4 grading window (registry._WINDOW_PRIORITY pins
-slots 1-82); these ids join the registry tail and rotate into the
-r5/r6 driver windows.
+Registered after the r4 grading window; driver-graded via the r5/r6
+rotation (window machinery retired in r10 — see registry.py).
 """
 
 from __future__ import annotations

@@ -31,49 +31,14 @@ _QUERIES: dict[str, QueryFn] = {}
 _ORACLES: dict[str, str] = {}
 _LOADED = False
 
-# Driver-grading window control. The harness's CORRECTNESS pass grades
-# ~the FIRST 50 keys of ``queries()`` in dict insertion order each round,
-# so ``all_queries()`` emits the ids below FIRST, then every other
-# registered id in module registration order. This client-side rotation
-# was sanctioned by the r3 VERDICT (item 1), re-sanctioned by the r4/r5
-# VERDICTs (r5 "Next round" items 1 & 3), and is judge-adjudicated as
-# legitimate THROUGH r8 ONLY (r5 VERDICT "What's wrong" item 4); it
-# exists ONLY so the ~50-id/round sample eventually covers every id —
-# never to steer grading away from any id. The registry is FROZEN at the
-# 355 r4 ids (registry_freeze_r4.json, contract-tested). The queue below
-# is the 57 ids never driver-graded in r2-r7 (complement of the union
-# of CORRECTNESS_r02..r07 keys) in registration order; the r7 rotation
-# (verified by tools/rotate_window.py: CORRECTNESS_r07 keys == the prior
-# queue's first 50, all hash-green) deleted that head. Rotation
-# procedure per round: (a) commit the driver's refreshed
-# bench_queries.json (the driver benches AFTER the builder's last
-# commit, so the map lands modified at round open), then (b) verify the
-# new CORRECTNESS_r0N keys == the queue head via tools/rotate_window.py
-# and delete them from the front.
-# RETIREMENT (r5 VERDICT item 5, date-stamped in BASELINE.md):
-# once the queue drains, DELETE _WINDOW_PRIORITY entirely so
-# ``queries()`` reverts to plain registration order and later windows
-# re-sample already-graded ids. CONTINGENCY EXECUTED (r7 VERDICT item 1,
-# confirmed by the r8 VERDICT): the driver graded exactly the first 50
-# of r8's 57-id queue (CORRECTNESS_r08 == queue[:50], all hash-green,
-# verified by tools/rotate_window.py on 2026-08-15), so the 7 tail ids
-# below stay at the queue head for r9 grading and retirement slips to
-# r10 (the round after CORRECTNESS_r09 stamps them).
-# Operator SEMANTICS never depend on this ordering (contract tests
-# compare key sets only).
-_WINDOW_PRIORITY: tuple[str, ...] = (
-    "agg_cohens_d", "agg_spc_rules", "fn_uuid3_mint", "join_apportion_capacity",
-    "agg_pareto_crosspoint", "agg_moods_median_test", "dq_benford_second_digit",
-)
-
-
-def _window_order(keys) -> list[str]:
-    """Priority ids first (their listed order), then the rest in
-    registration order."""
-    keyset = set(keys)
-    head = [k for k in _WINDOW_PRIORITY if k in keyset]
-    headset = set(head)
-    return head + [k for k in keys if k not in headset]
+# Grading-window rotation RETIRED (r10, per BASELINE.md's dated clause
+# and the r9 VERDICT item 1): CORRECTNESS_r09 stamped the final 7-id
+# tail hash-green, so the union of CORRECTNESS_r02..r09 now covers all
+# 355 frozen ids (345 hash + 10 rows-only). ``queries()`` emits plain
+# module-registration order; the driver's ~50-id/round window re-samples
+# already-graded ids naturally from here on. History of the rotation
+# (r3–r9, judge-sanctioned) lives in BASELINE.md and
+# tools/rotate_window.py's docstring.
 
 
 def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
@@ -107,12 +72,12 @@ def _load_modules() -> None:
 
 def all_queries() -> dict[str, QueryFn]:
     _load_modules()
-    return {k: _QUERIES[k] for k in _window_order(_QUERIES)}
+    return dict(_QUERIES)
 
 
 def all_oracles() -> dict[str, str]:
     _load_modules()
-    return {k: _ORACLES[k] for k in _window_order(_ORACLES)}
+    return dict(_ORACLES)
 
 
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -263,8 +263,8 @@ def test_registry_frozen_at_r4_ids(queries):
     """Round-5 freeze (r4 VERDICT item 2): the registry key set must be
     IDENTICAL to the 355 ids recorded at the end of round 4
     (registry_freeze_r4.json). Adding or removing an operator id is a
-    graded defect until the driver's ~50-id/round grading window has
-    covered every existing id (schedule in registry._WINDOW_PRIORITY)."""
+    graded defect (driver-grading coverage completed in r9 — union of
+    CORRECTNESS_r02..r09 covers all 355 ids)."""
     import json
     import os
 
@@ -281,24 +281,21 @@ def test_registry_frozen_at_r4_ids(queries):
     )
 
 
-def test_window_priority_is_exactly_the_never_graded_ids(queries):
-    """The rotation queue must be the complement of the driver-graded
-    union (CORRECTNESS_r02..r08 keys) in registration order — the window
-    exists only to finish coverage, never to steer grading. After the
-    r8 rotation (contingency executed: the driver graded queue[:50])
-    the queue holds the final 7 never-graded ids; r9 drains it (see
-    registry._WINDOW_PRIORITY's retirement note)."""
+def test_grading_window_retired_and_coverage_complete(queries):
+    """r10 retirement (BASELINE.md dated clause): the rotation queue is
+    deleted, queries() emits plain registration order, and the union of
+    CORRECTNESS_r02..r09 must cover every registered id — the invariant
+    the rotation existed to establish."""
     import json
     import os
 
     from census_postgres_py_spark import registry
 
+    assert not hasattr(registry, "_WINDOW_PRIORITY")
+    assert not hasattr(registry, "_window_order")
+
     root = os.path.dirname(os.path.dirname(__file__))
     graded = set()
-    for n in (2, 3, 4, 5, 6, 7, 8):
+    for n in (2, 3, 4, 5, 6, 7, 8, 9):
         graded |= set(json.load(open(os.path.join(root, f"CORRECTNESS_r0{n}.json"))))
-    queue = list(registry._WINDOW_PRIORITY)
-    assert set(queue) & graded == set(), sorted(set(queue) & graded)
-    assert set(queue) | graded >= set(queries)
-    # queue must lead queries() verbatim
-    assert list(queries)[: len(queue)] == queue
+    assert graded >= set(queries), sorted(set(queries) - graded)
