@@ -161,11 +161,16 @@ def emb_dedup_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Pairs are blocked by label (the shard-local dedup shape) and the
     within-label all-pairs space is TILED with the same block-pair
-    scheme as dedup_embedding_cosine: rows get block b = vec_id % B
-    (B ∝ n, so one tile's float64 matrices stay a few MB), every row
-    is exploded to its unordered block pairs, and one BLAS matmul per
-    (label, i, j) tile emits candidates ≥ the lowest threshold with
-    0.001 recall slack. The r9-continuation decade run caught the
+    scheme as dedup_embedding_cosine: rows get block b = pmod(vec_id,
+    B) — B ∝ n, so a full 4096×4096 tile's float64 sims matrix is
+    ~134 MB transient per task (plus the bool mask), the per-task
+    budget to price executor concurrency against; mod-blocking bounds
+    tile size only under a roughly uniform vec_id distribution, and
+    clustered/strided ids inflate individual blocks (true of any
+    hash-free blocking; this fixture's ids are dense-sequential).
+    Every row is exploded to its unordered block pairs, and one BLAS
+    matmul per (label, i, j) tile emits candidates ≥ the lowest
+    threshold with 0.001 recall slack. The r9-continuation decade run caught the
     pre-tiling plan going 315.9× for 100× rows: one pandas task per
     label materialized a label_rows² sims matrix (3.2 GB per 20k-row
     label at 200k vectors, single-threaded per label) — the exact
@@ -230,7 +235,10 @@ def emb_dedup_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     tiled = (
-        e.withColumn("b", (F.col("vec_id") % n_blocks).cast("int"))
+        # pmod, not %: Spark's % follows the dividend's sign, so a
+        # negative vec_id would land in a b < 0 block no partner row
+        # joins — silently dropped pairs (r9 ADVICE; sketches.py idiom)
+        e.withColumn("b", F.pmod(F.col("vec_id"), F.lit(n_blocks)).cast("int"))
         .withColumn(
             "k", F.explode(F.sequence(F.lit(0), F.lit(n_blocks - 1)))
         )

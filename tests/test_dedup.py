@@ -221,7 +221,12 @@ def test_shingle_checkpoint_gate_is_output_invariant(spark, queries):
         SHINGLE_CHECKPOINT_CONF,
     )
 
-    ids = ("dedup_ngram_jaccard", "dedup_containment", "dedup_simhash")
+    ids = (
+        "dedup_ngram_jaccard",
+        "dedup_containment",
+        "dedup_simhash",
+        "dedup_minhash",
+    )
     base = {
         q: sorted(map(tuple, queries[q](spark, SF_SMOKE).collect()))
         for q in ids
@@ -339,3 +344,61 @@ def test_prefix_filtered_index_equals_naive_reference(spark, seed):
         for r in _inverted_index_jaccard(_shingled(df)).collect()
     }
     assert got == expected
+
+
+def test_hashed_verify_matches_raw_verify(spark):
+    """The two-stage verify (hashed-array prefilter + raw-shingle
+    rescore of survivors) must be row-identical to a single-stage
+    raw-array verify on the fixture corpus — i.e. xxhash64 is
+    collision-free there, so the hashed stage's survivor set equals the
+    true set and the ~25-100x shuffle-byte cut is free (r9 VERDICT
+    item 2; collision argument in _hashed_prefilter's docstring)."""
+    from pyspark.sql import functions as F
+
+    from census_postgres_py_spark.operators.dedup import (
+        _exact_jaccard_pairs,
+        _shingled,
+        _with_dups,
+    )
+
+    shingled = _shingled(_with_dups(spark, SF_SMOKE))
+
+    # deterministic collision-freedom on this corpus: distinct shingles
+    # <-> distinct hashes (the premise that makes the A/B an identity)
+    ex = shingled.select(F.explode("shingles").alias("shingle")).distinct()
+    n_shingles = ex.count()
+    n_hashes = ex.select(F.xxhash64("shingle")).distinct().count()
+    assert n_shingles == n_hashes
+
+    # all unordered pairs as candidates: exercises the verify alone,
+    # independent of any candidate-generation filter
+    ids = shingled.select("doc_id")
+    cand = (
+        ids.select(F.col("doc_id").alias("a_id"))
+        .crossJoin(ids.select(F.col("doc_id").alias("b_id")))
+        .filter(F.col("a_id") < F.col("b_id"))
+    )
+
+    a = shingled.select(
+        F.col("doc_id").alias("a_id"),
+        F.col("shingles").alias("a_sh"),
+        F.col("n_sh").alias("a_n"),
+    )
+    b = shingled.select(
+        F.col("doc_id").alias("b_id"),
+        F.col("shingles").alias("b_sh"),
+        F.col("n_sh").alias("b_n"),
+    )
+    common = F.size(F.array_intersect("a_sh", "b_sh")).cast("long")
+    jacc = common.cast("double") / (F.col("a_n") + F.col("b_n") - common)
+    raw = (
+        cand.join(a, "a_id")
+        .join(b, "b_id")
+        .where(jacc >= 0.5)
+        .select("a_id", "b_id", common.alias("common"),
+                F.round(jacc, 4).alias("jaccard"))
+    )
+    want = sorted(map(tuple, raw.collect()))
+    got = sorted(map(tuple, _exact_jaccard_pairs(shingled, cand).collect()))
+    assert got == want
+    assert want  # the injected near-dups guarantee a non-empty check

@@ -94,15 +94,22 @@ def test_lsh_recall_floor_at_larger_corpus(spark, queries, exact_bench):
 
 def test_ivf_quantizer_collect_is_bounded():
     """Round-2 verdict: the quantizer trained on a full-table
-    collect(). It must train on a seeded sample capped at _TRAIN_CAP
-    and collect only probe vectors beyond that."""
+    collect(); rounds 4-9 capped a driver-side training sample; r10
+    trains fully distributed (r9 VERDICT item 3). The op must collect
+    only probe vectors, and the trainer only O(K·dim) aggregates —
+    the N_CELLS hash-init rows and the per-iteration (cell, pos)
+    reduce — never rows proportional to the table."""
     import inspect
 
     from census_postgres_py_spark.operators import similarity
 
     src = inspect.getsource(similarity.join_similarity_ivf)
     assert "e.collect()" not in src
-    assert "_TRAIN_CAP" in src
+    assert "_train_quantizer_distributed" in src
+    train_src = inspect.getsource(similarity._train_quantizer_distributed)
+    assert "e.collect()" not in train_src
+    assert ".limit(N_CELLS)" in train_src  # init is a bounded top-k
+    assert 'groupBy("cell", "pos")' in train_src  # reduce before collect
 
 def test_ivf_recall_at_nprobe_4(spark, queries, monkeypatch):
     """Edge of the probe budget (r3 verdict hardening item): halving
