@@ -205,7 +205,14 @@ def emb_dedup_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     # at or under one tile degenerates to one group per label — the
     # pre-tiling plan shape, no explode amplification at fixture scale
     n = approx_rows(spark, sf_dir, "embeddings")
-    block_rows = 4096
+    # Tile rows: 4096 default (one full tile = ~134 MB float64 sims
+    # transient/task). Conf-overridable so the knob is PRICED by
+    # measurement, not asserted (tools/decades_r10.py A/Bs 4096 vs
+    # 8192 at 200k vectors) — output is tile-size invariant (the exact
+    # JVM rescore decides membership; tiles only generate candidates).
+    block_rows = int(
+        spark.conf.get("spark.census.embsweep.tileRows", "4096")
+    )
     n_blocks = max(1, -(-n // block_rows))
 
     def _tile_candidates(pdf: pd.DataFrame):

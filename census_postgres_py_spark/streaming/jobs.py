@@ -819,6 +819,23 @@ def stream_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(stream, "append")
 
 
+# stream_sessionize_state knobs — A/B-measured at sf0.1 (r10, 3 warm
+# reps each, output-identical across EVERY combination since batch
+# boundaries and state-partition count are execution detail; the gap
+# fold decides membership):
+#   shards=3/parts=8: 5.93s   shards=2/parts=8: 4.77s  <- shipped
+#   shards=3/parts=4: 10.14s  shards=2/parts=4: 5.53s
+#   shards=3/parts=2: 12.55s
+# Feed shards = micro-batch count (maxFilesPerTrigger=1): 2 is the
+# floor that still carries open-session state across a batch boundary
+# and exercises watermark advance + event-time eviction (1 would
+# degenerate to batch mode). State partitions: FEWER is not cheaper —
+# the per-batch cost is dominated by the parallel python state fold,
+# not store commits, so halving partitions nearly doubled wall time.
+_SESSIONIZE_FEED_SHARDS = 2
+_SESSIONIZE_STATE_PARTS = 8
+
+
 @register(
     "stream_sessionize_state",
     oracle="""
@@ -911,7 +928,9 @@ def stream_sessionize_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         # chronological chunk files => micro-batches arrive in
         # event-time order with only intra-batch disorder (< the
         # watermark delay)
-        ev.repartitionByRange(3, "ts_ms").write.mode("overwrite").parquet(d)
+        ev.repartitionByRange(
+            _SESSIONIZE_FEED_SHARDS, "ts_ms"
+        ).write.mode("overwrite").parquet(d)
         parts = sorted(p for p in os.listdir(d) if p.startswith("part-"))
         base_mtime = _time.time() - 3600
         for i, p in enumerate(parts):
@@ -921,7 +940,10 @@ def stream_sessionize_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     src_dir = _cached_feed(
-        f"sessionize_state_src_{os.path.basename(sf_dir)}", sf_dir, _build
+        f"sessionize_state_src_{os.path.basename(sf_dir)}"
+        f"_s{_SESSIONIZE_FEED_SHARDS}",
+        sf_dir,
+        _build,
     )
     ckpt = _scratch(
         f"sessionize_ckpt_{os.path.basename(sf_dir)}_{uuid.uuid4().hex[:8]}",
@@ -1013,7 +1035,9 @@ def _sessionize_run_stateful(
     # driver/bench/pytest harnesses all use. A production deployment
     # sets the conf once at stream launch instead.
     old_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(_SESSIONIZE_STATE_PARTS)
+    )
     try:
         stream = (
             spark.readStream.schema(schema)

@@ -399,6 +399,11 @@ def test_hashed_verify_matches_raw_verify(spark):
                 F.round(jacc, 4).alias("jaccard"))
     )
     want = sorted(map(tuple, raw.collect()))
-    got = sorted(map(tuple, _exact_jaccard_pairs(shingled, cand).collect()))
+    got = sorted(
+        map(
+            tuple,
+            _exact_jaccard_pairs(shingled, cand, at_scale=True).collect(),
+        )
+    )
     assert got == want
     assert want  # the injected near-dups guarantee a non-empty check

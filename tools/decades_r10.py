@@ -130,5 +130,59 @@ def main() -> None:
     print("RESULTS " + json.dumps(results))
 
 
-if __name__ == "__main__":
+if __name__ == "__main__" and "--emb-sweep" not in sys.argv:
     main()
+
+
+def emb_sweep_decades() -> None:
+    """r9 VERDICT item 4: emb_dedup_sweep mid-decade row (10x = 20k
+    vectors) + tile-size A/B (4096 vs 8192) at 200k vectors, output
+    identity pinned across tile sizes."""
+    import json
+    import time
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.driver.memory", "32g")
+        .config("spark.sql.session.timeZone", "UTC")
+        .appName("emb-sweep-decades-r10")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from census_postgres_py_spark import registry
+
+    q = registry.all_queries()["emb_dedup_sweep"]
+    results = {}
+    q(spark, "/tmp/stress_emb_1x").write.mode("overwrite").format("noop").save()
+    for tag in ("1x", "10x", "100x"):
+        d = f"/tmp/stress_emb_{tag}"
+        reps = 2 if tag == "1x" else 1
+        ts = []
+        for _ in range(reps):
+            t0 = time.time()
+            q(spark, d).write.mode("overwrite").format("noop").save()
+            ts.append(time.time() - t0)
+        results[tag] = round(min(ts), 2)
+        print(f"emb_dedup_sweep {tag}: {min(ts):.2f}s", flush=True)
+    base = [tuple(r) for r in q(spark, "/tmp/stress_emb_100x").collect()]
+    spark.conf.set("spark.census.embsweep.tileRows", "8192")
+    t0 = time.time()
+    q(spark, "/tmp/stress_emb_100x").write.mode("overwrite").format(
+        "noop"
+    ).save()
+    results["100x_tile8192"] = round(time.time() - t0, 2)
+    alt = [tuple(r) for r in q(spark, "/tmp/stress_emb_100x").collect()]
+    spark.conf.unset("spark.census.embsweep.tileRows")
+    assert sorted(base) == sorted(alt), "tile size changed the output!"
+    print(f"emb_dedup_sweep 100x tile=8192: {results['100x_tile8192']:.2f}s "
+          f"(output identical to tile=4096)", flush=True)
+    print("RESULTS " + json.dumps(results))
+
+
+if __name__ == "__main__" and "--emb-sweep" in sys.argv:
+    emb_sweep_decades()
+    sys.exit(0)

@@ -60,7 +60,9 @@ def _cc_pipeline_uncapped(spark, sf_dir):
     )
 
     shingled = _shingled(_uncapped_docs(spark, sf_dir)).localCheckpoint()
-    pairs = _inverted_index_jaccard(shingled).select("a_id", "b_id")
+    pairs = _inverted_index_jaccard(shingled, at_scale=True).select(
+        "a_id", "b_id"
+    )
     edges = (
         pairs.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
         .unionByName(
