@@ -825,6 +825,12 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             }
         )
 
+    if n_blocks > 1:
+        # parallelism restore before the n_blocks-way explode: a
+        # single-row-group parquet scans as ONE task, which would run
+        # the whole n×B amplification single-threaded (the explode-
+        # after-coalesce disease; see emb_dedup_sweep's measured case)
+        e = e.repartition(spark.sparkContext.defaultParallelism)
     tiled = (
         # pmod, not %: a negative vec_id under % gets b < 0 and its
         # rows join no tile — silently dropped pairs (r9 ADVICE)

@@ -36,6 +36,16 @@ from census_postgres_py_spark.tables import approx_rows, t
 _ADJ_BROADCAST_MAX_EDGES = 48_000_000
 _ADJ_CONF = "spark.census.graph.broadcastAdjMaxEdges"
 
+# Degree-orientation gate for graph_triangle_count (r10). Probing the
+# degree distribution costs one lineitem scan + a part-keyed count, so
+# it only runs past a footer-answered row floor; the orientation flips
+# on when the max/mean part-occurrence ratio proves a power-law hub
+# (uniform corpora sit near 1, the zipf(1.1) stress corpus at ~1e5).
+_DEG_ORIENT_MIN_ROWS = 4_000_000
+_DEG_ORIENT_MIN_ROWS_CONF = "spark.census.graph.degreeOrientMinRows"
+_DEG_ORIENT_SKEW_RATIO = 32.0
+_DEG_ORIENT_SKEW_RATIO_CONF = "spark.census.graph.degreeOrientSkewRatio"
+
 # Fixture custkeys are dense from 1, so div-10 parents always exist and
 # depth is bounded by log10(max key): 19 levels covers the full int64
 # key space — a CONSTANT unroll bound, not a data-dependent loop.
@@ -113,12 +123,12 @@ def hier_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
     return reduce(DataFrame.unionAll, levels)
 
 
-def _partkeys_fit_int32(sf_dir: str) -> bool:
-    """O(1) footer check: does every l_partkey fit int32? Reads the
-    parquet row-group column STATISTICS (min/max), never data pages —
-    the same footer-only discipline as tables.approx_rows. Falls back
-    to False (keep int64) when stats are absent or unreadable, so the
-    compaction can never be wrong, only missed."""
+def _partkey_bounds(sf_dir: str):
+    """O(1) footer probe: (min, max) of l_partkey from the parquet
+    row-group column STATISTICS (min/max), never data pages — the
+    same footer-only discipline as tables.approx_rows. Returns None
+    when stats are absent or unreadable, so callers gated on the
+    bounds can be missed, never wrong."""
     import os
 
     try:
@@ -142,12 +152,20 @@ def _partkeys_fit_int32(sf_dir: str) -> bool:
             for rg in range(md.num_row_groups):
                 stats = md.row_group(rg).column(idx).statistics
                 if stats is None or not stats.has_min_max:
-                    return False
+                    return None
                 hi = max(hi, stats.max)
                 lo = min(lo, stats.min)
-        return -(2**31) <= lo and hi <= 2**31 - 1
+        return (lo, hi)
     except Exception:
-        return False
+        return None
+
+
+def _partkeys_fit_int32(sf_dir: str) -> bool:
+    """Footer proof that every l_partkey fits int32 (see
+    _partkey_bounds); False when stats are missing, so the int32
+    compaction can never be wrong, only missed."""
+    b = _partkey_bounds(sf_dir)
+    return b is not None and -(2**31) <= b[0] and b[1] <= 2**31 - 1
 
 
 def _baskets(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -265,7 +283,70 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-executor copy of E.
     """
     max_edges = int(spark.conf.get(_ADJ_CONF, str(_ADJ_BROADCAST_MAX_EDGES)))
-    baskets = _baskets(spark, sf_dir)
+
+    # DEGREE ORIENTATION (r10): the id-orientation above is only a
+    # skew guard when ids are uncorrelated with popularity. On a
+    # power-law corpus where the LOW ids are the hubs (the classic
+    # Zipf rank→id layout; measured 34× time for 10× rows on the
+    # zipf(1.1) stress corpus), the hub's entire neighborhood becomes
+    # its out-list and every hub edge drags it through the intersect.
+    # The fix is the textbook degree orientation — orient each edge
+    # from its lower-(degree, id) endpoint, bounding out-degrees by
+    # O(√m) — expressed as a pure KEY REMAP so the whole enumeration
+    # pipeline is reused verbatim: pk' = (occ(part) << 32) | part,
+    # sorted basket arrays of pk' ARE degree-oriented, and the output
+    # groupBy unpacks the low 32 bits. Triangle sets are invariant
+    # under ANY consistent total order, so the output is byte-
+    # identical (pinned by test_triangle_degree_orientation_invariant).
+    # Measured on the zipf 10x corpus (5.8M lines, 132M triangles),
+    # isolated A/B, one fresh JVM per leg, warm min of 3 reps:
+    # id-orient 63.4s vs degree-orient 13.4s — 4.7x, identical output
+    # (tools/decades_r10.log).
+    # Gated twice: a footer row floor (the probe itself costs a scan)
+    # and a measured max/mean occurrence ratio; the packed key needs
+    # 0 ≤ partkey < 2³¹, proven from footer stats. occ is clamped to
+    # 2³⁰ (order only needs a deterministic function of the node; the
+    # low 32 id bits keep keys unique), so the shift can never
+    # overflow into the sign bit.
+    min_rows = int(
+        spark.conf.get(_DEG_ORIENT_MIN_ROWS_CONF, str(_DEG_ORIENT_MIN_ROWS))
+    )
+    skew_ratio = float(
+        spark.conf.get(_DEG_ORIENT_SKEW_RATIO_CONF, str(_DEG_ORIENT_SKEW_RATIO))
+    )
+    pk_bounds = _partkey_bounds(sf_dir)
+    orient_by_degree = False
+    if (
+        pk_bounds is not None
+        and 0 <= pk_bounds[0]
+        and pk_bounds[1] <= 2**31 - 1
+        and approx_rows(spark, sf_dir, "lineitem") >= min_rows
+    ):
+        li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+        occ = (
+            li.groupBy("l_partkey")
+            .agg(F.count("*").alias("occ"))
+            .localCheckpoint()
+        )
+        st = occ.agg(
+            F.max("occ").alias("mx"), F.avg("occ").alias("av")
+        ).collect()[0]
+        orient_by_degree = bool(
+            st["mx"] is not None and st["av"] and st["mx"] / st["av"] >= skew_ratio
+        )
+        if orient_by_degree:
+            packed = li.join(occ, "l_partkey").select(
+                "l_orderkey",
+                F.expr(
+                    "shiftleft(CAST(least(occ, 1073741824) AS BIGINT), 32)"
+                    " | l_partkey"
+                ).alias("pk"),
+            )
+            baskets = packed.groupBy("l_orderkey").agg(
+                F.array_sort(F.collect_set("pk")).alias("ps")
+            )
+    if not orient_by_degree:
+        baskets = _baskets(spark, sf_dir)
     if max_edges <= 0:
         est_edges = max_edges + 1  # conf ≤ 0 forces shuffle; skip the agg
     elif 3 * approx_rows(spark, sf_dir, "lineitem") <= max_edges:
@@ -351,10 +432,16 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("pc")
     )
-    return corners.groupBy(
+    part_out = (
+        # unpack the degree-orientation remap: partkey = low 32 bits
+        F.col("pc.part").bitwiseAND(F.lit((1 << 32) - 1)).cast("long")
+        if orient_by_degree
         # re-widen: baskets may carry int32-compacted partkeys
-        F.col("pc.part").cast("long").alias("l_partkey")
-    ).agg(F.sum("pc.c").cast("long").alias("n_triangles"))
+        else F.col("pc.part").cast("long")
+    )
+    return corners.groupBy(part_out.alias("l_partkey")).agg(
+        F.sum("pc.c").cast("long").alias("n_triangles")
+    )
 
 
 @register(

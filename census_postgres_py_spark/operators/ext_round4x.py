@@ -162,8 +162,8 @@ def emb_dedup_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     Pairs are blocked by label (the shard-local dedup shape) and the
     within-label all-pairs space is TILED with the same block-pair
     scheme as dedup_embedding_cosine: rows get block b = pmod(vec_id,
-    B) — B ∝ n, so a full 4096×4096 tile's float64 sims matrix is
-    ~134 MB transient per task (plus the bool mask), the per-task
+    B) — B ∝ n, so a full 8192×8192 tile's float64 sims matrix is
+    ~536 MB transient per task (plus the bool mask), the per-task
     budget to price executor concurrency against; mod-blocking bounds
     tile size only under a roughly uniform vec_id distribution, and
     clustered/strided ids inflate individual blocks (true of any
@@ -201,17 +201,23 @@ def emb_dedup_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # footer row count (O(1), no job): e is the UNFILTERED table, so
     # unlike the dedup ops' seam-swappable input this is exact.
-    # 4096-row tiles (dedup_embedding_cosine's figure) mean a corpus
-    # at or under one tile degenerates to one group per label — the
-    # pre-tiling plan shape, no explode amplification at fixture scale
+    # a corpus at or under one tile degenerates to one group per
+    # label — the pre-tiling plan shape, no explode amplification at
+    # fixture scale
     n = approx_rows(spark, sf_dir, "embeddings")
-    # Tile rows: 4096 default (one full tile = ~134 MB float64 sims
-    # transient/task). Conf-overridable so the knob is PRICED by
-    # measurement, not asserted (tools/decades_r10.py A/Bs 4096 vs
-    # 8192 at 200k vectors) — output is tile-size invariant (the exact
-    # JVM rescore decides membership; tiles only generate candidates).
+    # Tile rows: 8192 default (one full tile = ~536 MB float64 sims
+    # transient/task — fine at 32-way: measured two clean completions
+    # at 200k vectors). Conf-overridable so the knob stays PRICED by
+    # measurement, not asserted; the r10 event-log profile
+    # (tools/decades_r10.log) showed the dominant cost is NOT the sims
+    # matrix but the ~1 ms/row FlatMapGroupsInPandas machinery on the
+    # n×B exploded rows — so FEWER, BIGGER tiles win as long as the
+    # matrix fits: 4096 tiles (49 blocks, 9.8M row-instances) ran
+    # 777 s at the 100× decade vs 8192 tiles (25 blocks, 5M
+    # row-instances) at 135.6 s, byte-identical output (the exact JVM
+    # rescore decides membership; tiles only generate candidates).
     block_rows = int(
-        spark.conf.get("spark.census.embsweep.tileRows", "4096")
+        spark.conf.get("spark.census.embsweep.tileRows", "8192")
     )
     n_blocks = max(1, -(-n // block_rows))
 
@@ -241,6 +247,16 @@ def emb_dedup_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             }
         )
 
+    if n_blocks > 1:
+        # Parallelism restore BEFORE the n_blocks-way explode: the
+        # stress embeddings parquet is ONE row group, so the scan (and
+        # therefore the explode that amplifies it n_blocks×, ~5 GB at
+        # 200k vectors) would otherwise run in a single task — the
+        # explode-after-coalesce disease stage_audit.py documents,
+        # invisible at fixture scale where n_blocks == 1 skips this.
+        # The repartition itself shuffles only the un-exploded base
+        # table (~50 MB at the 100× decade).
+        e = e.repartition(spark.sparkContext.defaultParallelism)
     tiled = (
         # pmod, not %: Spark's % follows the dividend's sign, so a
         # negative vec_id would land in a b < 0 block no partner row

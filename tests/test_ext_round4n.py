@@ -111,3 +111,29 @@ def test_triangle_big_graph_path_matches_small_graph_path(
         map(tuple, queries["graph_triangle_count"](spark, SF_SMOKE).collect())
     )
     assert small and small == big
+
+
+def test_triangle_degree_orientation_invariant(spark, queries):
+    """Triangle sets are invariant under ANY consistent edge
+    orientation, so forcing the r10 degree-orientation remap
+    (pk' = occ<<32 | part) must reproduce the id-oriented output
+    exactly — same parts, same counts."""
+    from census_postgres_py_spark.operators import ext_round4n
+
+    base = {
+        (r["l_partkey"], r["n_triangles"])
+        for r in queries["graph_triangle_count"](spark, SF_SMOKE).collect()
+    }
+    spark.conf.set(ext_round4n._DEG_ORIENT_MIN_ROWS_CONF, "0")
+    spark.conf.set(ext_round4n._DEG_ORIENT_SKEW_RATIO_CONF, "0")
+    try:
+        forced = {
+            (r["l_partkey"], r["n_triangles"])
+            for r in queries["graph_triangle_count"](
+                spark, SF_SMOKE
+            ).collect()
+        }
+    finally:
+        spark.conf.unset(ext_round4n._DEG_ORIENT_MIN_ROWS_CONF)
+        spark.conf.unset(ext_round4n._DEG_ORIENT_SKEW_RATIO_CONF)
+    assert forced == base

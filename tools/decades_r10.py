@@ -107,7 +107,26 @@ def main() -> None:
             "dedup_minhash_uncapped", "/tmp/stress_docs_1x",
             "/tmp/stress_docs_100x",
         ),
+        # r9 VERDICT item 7: the graph family's second adversarial
+        # corpus shape — power-law co-purchase edges (gen_stress
+        # --graph-only --zipf 1.1), the one family whose stress corpus
+        # was still uniform-ish. Same ops as graph_decades_r7 so the
+        # uniform-vs-skewed columns are directly comparable. Zipf(1.1)
+        # puts the #1 part in ~half of ALL orders, so triangle MASS
+        # (an output/graph property, not a plan property) densifies
+        # super-linearly — probe each op at 10x and only run 100x
+        # where the 10x row extrapolates to something this box can
+        # finish.
     }
+    for op in (
+        "graph_triangle_count", "graph_degree_hist", "graph_pagerank_iter",
+        "join_bipartite_projection", "agg_cooccurrence",
+    ):
+        short = op.replace("graph_", "").replace("join_", "").replace(
+            "agg_", ""
+        )
+        RUNS[f"{short}_zipf10"] = (op, "/tmp/stress_gz_1x", "/tmp/stress_gz_10x")
+        RUNS[f"{short}_zipf100"] = (op, "/tmp/stress_gz_1x", "/tmp/stress_gz_100x")
     results: dict[str, dict] = {}
     for key in args.ids.split(","):
         name, d1, dN = RUNS[key]
@@ -168,18 +187,34 @@ def emb_sweep_decades() -> None:
             ts.append(time.time() - t0)
         results[tag] = round(min(ts), 2)
         print(f"emb_dedup_sweep {tag}: {min(ts):.2f}s", flush=True)
+    # Tile A/B at the full decade: default (8192 as of r10) vs the old
+    # 4096 default. The r10 event-log profile showed per-row
+    # FlatMapGroupsInPandas machinery (~1 ms/row-instance), not the
+    # sims matrix, is the cost driver — fewer/bigger tiles win while
+    # the matrix fits. The leg is guarded: a crash IS a measurement
+    # (the knob's upper bound).
     base = [tuple(r) for r in q(spark, "/tmp/stress_emb_100x").collect()]
-    spark.conf.set("spark.census.embsweep.tileRows", "8192")
+    spark.conf.set("spark.census.embsweep.tileRows", "4096")
     t0 = time.time()
-    q(spark, "/tmp/stress_emb_100x").write.mode("overwrite").format(
-        "noop"
-    ).save()
-    results["100x_tile8192"] = round(time.time() - t0, 2)
-    alt = [tuple(r) for r in q(spark, "/tmp/stress_emb_100x").collect()]
-    spark.conf.unset("spark.census.embsweep.tileRows")
-    assert sorted(base) == sorted(alt), "tile size changed the output!"
-    print(f"emb_dedup_sweep 100x tile=8192: {results['100x_tile8192']:.2f}s "
-          f"(output identical to tile=4096)", flush=True)
+    try:
+        q(spark, "/tmp/stress_emb_100x").write.mode("overwrite").format(
+            "noop"
+        ).save()
+        results["100x_tile4096"] = round(time.time() - t0, 2)
+        alt = [tuple(r) for r in q(spark, "/tmp/stress_emb_100x").collect()]
+        assert sorted(base) == sorted(alt), "tile size changed the output!"
+        print(
+            f"emb_dedup_sweep 100x tile=4096: "
+            f"{results['100x_tile4096']:.2f}s "
+            f"(output identical to tile=8192)",
+            flush=True,
+        )
+    except Exception as exc:  # worker OOM/crash is a priced outcome
+        results["100x_tile4096"] = f"FAILED after {time.time() - t0:.1f}s"
+        print(f"emb_dedup_sweep 100x tile=4096 FAILED: "
+              f"{type(exc).__name__}: {str(exc)[:200]}", flush=True)
+    finally:
+        spark.conf.unset("spark.census.embsweep.tileRows")
     print("RESULTS " + json.dumps(results))
 
 
