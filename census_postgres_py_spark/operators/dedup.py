@@ -825,16 +825,23 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             }
         )
 
-    if n_blocks > 1:
-        # parallelism restore before the n_blocks-way explode: a
-        # single-row-group parquet scans as ONE task, which would run
-        # the whole n×B amplification single-threaded (the explode-
-        # after-coalesce disease; see emb_dedup_sweep's measured case)
-        e = e.repartition(spark.sparkContext.defaultParallelism)
+    # parallelism restore before the n_blocks-way explode: a
+    # single-row-group parquet scans as ONE task, which would run
+    # the whole n×B amplification single-threaded (the explode-
+    # after-coalesce disease; see emb_dedup_sweep's measured case).
+    # Scoped to the tiled branch ONLY — the a/b exact-rescore sides
+    # below stay on the unshuffled scan (r10 ADVICE: rebinding `e`
+    # made the rescore scans pay a repartition they don't need).
+    tiles_src = (
+        e.repartition(spark.sparkContext.defaultParallelism)
+        if n_blocks > 1
+        else e
+    )
     tiled = (
         # pmod, not %: a negative vec_id under % gets b < 0 and its
         # rows join no tile — silently dropped pairs (r9 ADVICE)
-        e.withColumn("b", F.pmod(F.col("vec_id"), F.lit(n_blocks)).cast("int"))
+        tiles_src
+        .withColumn("b", F.pmod(F.col("vec_id"), F.lit(n_blocks)).cast("int"))
         .withColumn("k", F.explode(F.sequence(F.lit(0), F.lit(n_blocks - 1))))
         .withColumn("i", F.least("b", "k"))
         .withColumn("j", F.greatest("b", "k"))
@@ -982,67 +989,92 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = _with_dups(spark, sf_dir)
     at_scale = _docs_at_scale(spark, sf_dir, docs)
-    # prefix extension + vote threshold only pay off where candidates
-    # explode (stress corpora); at fixture scale extra = 0 keeps the
-    # vote threshold at 1 = the plain shared-shingle candidate set
-    extra = CONT_PREFIX_EXTRA if at_scale else 0
     shingled = _shared_shingled(spark, sf_dir, docs)
     ex = shingled.select(
         "doc_id", "n_sh", F.explode("shingles").alias("shingle")
     )
     df_rank = ex.groupBy("shingle").agg(F.count("*").alias("df"))
-    prefix = (
-        ex.join(df_rank, "shingle")
-        .withColumn(
-            "pos",
-            F.row_number().over(
-                Window.partitionBy("doc_id").orderBy("df", "shingle")
-            ),
-        )
-        .filter(
-            F.col("pos")
-            <= F.expr(
-                "least(n_sh,"
-                f" n_sh - (9 * n_sh + 9) DIV 10 + 1 + {extra})"
-            )
-        )
-        .select(F.col("doc_id").alias("a_id"), F.col("n_sh").alias("a_n"),
-                "shingle")
-    )
-    full = ex.select(
-        F.col("doc_id").alias("b_id"), F.col("n_sh").alias("b_n"), "shingle"
-    )
-    # Vote-count lower bound on the extended prefix (exact by the same
-    # pigeonhole as the Jaccard Q bound): c >= ⌈0.9·na⌉ puts at least
-    # pa' − (na − c) of A's intersection shingles inside its pa'-long
-    # prefix, ALL of which are in B (full index), so votes per true
-    # pair >= pa' − na + ⌈0.9na⌉ = min(⌈0.9na⌉, 1 + CONT_PREFIX_EXTRA).
-    # The b_n >= ⌈0.9·a_n⌉ length filter is exact too (c <= min(na,nb)).
-    # Counting votes per pair costs the shuffle the old .distinct()
-    # already paid; requiring 1+EXTRA shared rare shingles (vs 1)
-    # collapses the hub-corpus candidate set from the share-one floor
-    # to ~true-pair scale (1.6x more prefix postings, measured
-    # 1.18e9 -> 1.89e9 votes at 500k hub docs — the trade that unlocks
-    # the 100x decade row).
-    vote_min = F.expr(f"least((9 * a_n + 9) DIV 10, {1 + extra})")
-    cand = (
-        prefix.join(full, "shingle")
-        .filter(
-            (F.col("a_id") != F.col("b_id"))
-            & (F.col("b_n") >= F.expr("(9 * a_n + 9) DIV 10"))
-        )
-        .groupBy("a_id", "b_id", "a_n")
-        .agg(F.count("*").alias("shared_pre"))
-        .filter(F.col("shared_pre") >= vote_min)
-        .select("a_id", "b_id")
+    pos = F.row_number().over(
+        Window.partitionBy("doc_id").orderBy("df", "shingle")
     )
     if at_scale:
+        # Extended prefix + vote-count candidate bound (exact by the
+        # same pigeonhole as the Jaccard Q bound): c >= ⌈0.9·na⌉ puts
+        # at least pa' − (na − c) of A's intersection shingles inside
+        # its pa'-long prefix, ALL of which are in B (full index), so
+        # votes per true pair >= pa' − na + ⌈0.9na⌉
+        # = min(⌈0.9na⌉, 1 + CONT_PREFIX_EXTRA). The b_n >= ⌈0.9·a_n⌉
+        # length filter is exact too (c <= min(na,nb)). Counting votes
+        # per pair costs the shuffle the old .distinct() already paid;
+        # requiring 1+EXTRA shared rare shingles (vs 1) collapses the
+        # hub-corpus candidate set from the share-one floor to
+        # ~true-pair scale (1.6x more prefix postings, measured
+        # 1.18e9 -> 1.89e9 votes at 500k hub docs — the trade that
+        # unlocks the 100x decade row).
+        extra = CONT_PREFIX_EXTRA
+        prefix = (
+            ex.join(df_rank, "shingle")
+            .withColumn("pos", pos)
+            .filter(
+                F.col("pos")
+                <= F.expr(
+                    "least(n_sh,"
+                    f" n_sh - (9 * n_sh + 9) DIV 10 + 1 + {extra})"
+                )
+            )
+            .select(
+                F.col("doc_id").alias("a_id"),
+                F.col("n_sh").alias("a_n"),
+                "shingle",
+            )
+        )
+        full = ex.select(
+            F.col("doc_id").alias("b_id"),
+            F.col("n_sh").alias("b_n"),
+            "shingle",
+        )
+        vote_min = F.expr(f"least((9 * a_n + 9) DIV 10, {1 + extra})")
+        cand = (
+            prefix.join(full, "shingle")
+            .filter(
+                (F.col("a_id") != F.col("b_id"))
+                & (F.col("b_n") >= F.expr("(9 * a_n + 9) DIV 10"))
+            )
+            .groupBy("a_id", "b_id", "a_n")
+            .agg(F.count("*").alias("shared_pre"))
+            .filter(F.col("shared_pre") >= vote_min)
+            .select("a_id", "b_id")
+        )
         pre = _hashed_prefilter(shingled, cand)
         survivors = pre.filter(
             F.col("common_h").cast("double") / F.col("a_n") >= 0.9
         ).select("a_id", "b_id")
         scored = _rescore_survivors_raw(shingled, survivors)
     else:
+        # Fixture scale: the vote machinery is a tautology at extra=0
+        # (shared_pre >= 1 is exactly "shared a prefix shingle") but
+        # NOT free — the r10 unified plan carried a_n/b_n longs through
+        # every posting row of the prefix⋈full join and replaced the
+        # .distinct() with a wider groupBy+count, a measured ~1.6x
+        # fixture-scale regression (r10 VERDICT item 1: 1.87 -> 2.98 s
+        # warm-min interleaved A/B at sf0.1). Keep the literal minimal
+        # candidate tail here; the bound only earns its cost where the
+        # gate opens.
+        prefix = (
+            ex.join(df_rank, "shingle")
+            .withColumn("pos", pos)
+            .filter(
+                F.col("pos") <= F.expr("n_sh - (9 * n_sh + 9) DIV 10 + 1")
+            )
+            .select(F.col("doc_id").alias("a_id"), "shingle")
+        )
+        full = ex.select(F.col("doc_id").alias("b_id"), "shingle")
+        cand = (
+            prefix.join(full, "shingle")
+            .filter(F.col("a_id") != F.col("b_id"))
+            .select("a_id", "b_id")
+            .distinct()
+        )
         scored = _rescore_survivors_raw(shingled, cand)
     cont = F.col("common").cast("double") / F.col("a_n")
     return (

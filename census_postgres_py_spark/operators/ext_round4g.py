@@ -118,15 +118,21 @@ def join_mutual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             {"va": np.concatenate(out_a), "vb": np.concatenate(out_b)}
         ).drop_duplicates()
 
-    if n_blocks > 1:
-        # parallelism restore before the n_blocks-way explode: a
-        # single-row-group parquet scans as ONE task, which would run
-        # the whole n×B amplification single-threaded (the explode-
-        # after-coalesce disease; see emb_dedup_sweep's measured case)
-        e = e.repartition(spark.sparkContext.defaultParallelism)
+    # parallelism restore before the n_blocks-way explode: a
+    # single-row-group parquet scans as ONE task, which would run
+    # the whole n×B amplification single-threaded (the explode-
+    # after-coalesce disease; see emb_dedup_sweep's measured case).
+    # Scoped to the tiled branch only — the a/b rescore sides below
+    # stay on the unshuffled scan (r10 ADVICE).
+    tiles_src = (
+        e.repartition(spark.sparkContext.defaultParallelism)
+        if n_blocks > 1
+        else e
+    )
     tiled = (
         # pmod, not %: sign-safe blocking (r9 ADVICE; repo idiom)
-        e.withColumn("b", F.pmod(F.col("vec_id"), F.lit(n_blocks)).cast("int"))
+        tiles_src
+        .withColumn("b", F.pmod(F.col("vec_id"), F.lit(n_blocks)).cast("int"))
         .withColumn("k", F.explode(F.sequence(F.lit(0), F.lit(n_blocks - 1))))
         .withColumn("i", F.least("b", "k"))
         .withColumn("j", F.greatest("b", "k"))

@@ -323,18 +323,22 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         and approx_rows(spark, sf_dir, "lineitem") >= min_rows
     ):
         li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-        occ = (
-            li.groupBy("l_partkey")
-            .agg(F.count("*").alias("occ"))
-            .localCheckpoint()
-        )
-        st = occ.agg(
+        occ_lazy = li.groupBy("l_partkey").agg(F.count("*").alias("occ"))
+        # Probe max/mean straight off the lazy groupBy — the partial
+        # aggs collapse to 2 doubles per partition, no materialized
+        # blocks. Checkpoint occ ONLY once orientation is confirmed
+        # (it then serves the packed-key join); on low-skew corpora
+        # the probe leaves nothing behind (r10 ADVICE: the eager
+        # localCheckpoint made every low-skew call pay checkpoint
+        # blocks that were immediately discarded).
+        st = occ_lazy.agg(
             F.max("occ").alias("mx"), F.avg("occ").alias("av")
         ).collect()[0]
         orient_by_degree = bool(
             st["mx"] is not None and st["av"] and st["mx"] / st["av"] >= skew_ratio
         )
         if orient_by_degree:
+            occ = occ_lazy.localCheckpoint()
             packed = li.join(occ, "l_partkey").select(
                 "l_orderkey",
                 F.expr(

@@ -121,6 +121,42 @@ def win_ohlc_candles(spark: SparkSession, sf_dir: str) -> DataFrame:
 _THRESHOLDS = (30, 40, 50, 60, 70)  # cosine × 100
 
 
+def _tile_rows_default(spark: SparkSession) -> int:
+    """Memory-aware default for the block-pair tile edge (rows).
+
+    A tile task holds ~3 tile-sized float64 transients (the BLAS sims
+    output, the bool mask promoted during the compare, and numpy
+    temporaries), i.e. ~24·rows² bytes, with defaultParallelism tasks
+    concurrent. Budget half the per-core physical memory for them:
+    rows = sqrt((mem/cores/2) / 24), clamped to [2048, 8192] and
+    rounded down to a multiple of 1024 (tile-count granularity — the
+    exact value only moves candidate-batch shape, never output).
+    Executors are sized from `spark.executor.memory` when the
+    deployment sets it; local mode falls back to physical RAM (the
+    Python workers draw from the same host). On the 32-core/128 GiB
+    bench box: 4 GiB/core → 2 GiB budget → 9460 → clamp 8192, the
+    measured 100×-decade optimum (tools/decades_r10.log)."""
+    import os
+    import re
+
+    mem = None
+    conf_mem = spark.conf.get("spark.executor.memory", None)
+    if conf_mem:
+        m = re.fullmatch(r"(\d+)([kmgt]?)b?", conf_mem.strip().lower())
+        if m:
+            mem = int(m.group(1)) * 1024 ** (
+                " kmgt".index(m.group(2) or " ")
+            )
+    if mem is None:
+        try:
+            mem = os.sysconf("SC_PHYS_PAGES") * os.sysconf("SC_PAGE_SIZE")
+        except (ValueError, OSError, AttributeError):
+            mem = 32 * 1024**3  # unknowable host: assume a modest box
+    cores = max(1, spark.sparkContext.defaultParallelism)
+    rows = int(((mem / cores / 2) / 24) ** 0.5)
+    return max(2048, min(8192, rows // 1024 * 1024))
+
+
 @register(
     "emb_dedup_sweep",
     oracle=f"""
@@ -205,9 +241,14 @@ def emb_dedup_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     # label — the pre-tiling plan shape, no explode amplification at
     # fixture scale
     n = approx_rows(spark, sf_dir, "embeddings")
-    # Tile rows: 8192 default (one full tile = ~536 MB float64 sims
-    # transient/task — fine at 32-way: measured two clean completions
-    # at 200k vectors). Conf-overridable so the knob stays PRICED by
+    # Tile rows: default scales off host memory per concurrent task
+    # (r10 ADVICE — a fixed 8192 was validated only on one 32-way
+    # 128 GiB box; one full 8192 tile = ~536 MB float64 sims transient
+    # per task, so smaller hosts risk Python-worker OOM by default).
+    # _tile_rows_default budgets ~1/2 of per-core physical memory for
+    # ~3 tile-sized transients and clamps to [2048, 8192]; on the
+    # 128 GiB/32-core bench box it resolves to 8192 — the measured
+    # optimum. Conf-overridable so the knob stays PRICED by
     # measurement, not asserted; the r10 event-log profile
     # (tools/decades_r10.log) showed the dominant cost is NOT the sims
     # matrix but the ~1 ms/row FlatMapGroupsInPandas machinery on the
@@ -217,7 +258,10 @@ def emb_dedup_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     # row-instances) at 135.6 s, byte-identical output (the exact JVM
     # rescore decides membership; tiles only generate candidates).
     block_rows = int(
-        spark.conf.get("spark.census.embsweep.tileRows", "8192")
+        spark.conf.get(
+            "spark.census.embsweep.tileRows",
+            str(_tile_rows_default(spark)),
+        )
     )
     n_blocks = max(1, -(-n // block_rows))
 
@@ -247,21 +291,27 @@ def emb_dedup_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             }
         )
 
-    if n_blocks > 1:
-        # Parallelism restore BEFORE the n_blocks-way explode: the
-        # stress embeddings parquet is ONE row group, so the scan (and
-        # therefore the explode that amplifies it n_blocks×, ~5 GB at
-        # 200k vectors) would otherwise run in a single task — the
-        # explode-after-coalesce disease stage_audit.py documents,
-        # invisible at fixture scale where n_blocks == 1 skips this.
-        # The repartition itself shuffles only the un-exploded base
-        # table (~50 MB at the 100× decade).
-        e = e.repartition(spark.sparkContext.defaultParallelism)
+    # Parallelism restore BEFORE the n_blocks-way explode: the
+    # stress embeddings parquet is ONE row group, so the scan (and
+    # therefore the explode that amplifies it n_blocks×, ~5 GB at
+    # 200k vectors) would otherwise run in a single task — the
+    # explode-after-coalesce disease stage_audit.py documents,
+    # invisible at fixture scale where n_blocks == 1 skips this.
+    # The repartition itself shuffles only the un-exploded base
+    # table (~50 MB at the 100× decade), and is scoped to the tiled
+    # branch only — the a/b exact-rescore sides below stay on the
+    # unshuffled scan (r10 ADVICE).
+    tiles_src = (
+        e.repartition(spark.sparkContext.defaultParallelism)
+        if n_blocks > 1
+        else e
+    )
     tiled = (
         # pmod, not %: Spark's % follows the dividend's sign, so a
         # negative vec_id would land in a b < 0 block no partner row
         # joins — silently dropped pairs (r9 ADVICE; sketches.py idiom)
-        e.withColumn("b", F.pmod(F.col("vec_id"), F.lit(n_blocks)).cast("int"))
+        tiles_src
+        .withColumn("b", F.pmod(F.col("vec_id"), F.lit(n_blocks)).cast("int"))
         .withColumn(
             "k", F.explode(F.sequence(F.lit(0), F.lit(n_blocks - 1)))
         )

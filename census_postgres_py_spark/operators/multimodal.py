@@ -68,7 +68,19 @@ def _encode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 
 
 def _payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = t(spark, sf_dir, "documents").select("doc_id")
+    # Parallelism restore BEFORE the encode kernel: the fixture
+    # documents parquet is one row group, so every downstream decode /
+    # phash / resize kernel would run its whole Arrow-batch chain in a
+    # single task (r10 stage audit flagged mm_phash_dedup's two ~1.1 s
+    # 1-task stages). The shuffle moves only 8-byte doc_ids — payload
+    # bytes are synthesized AFTER the exchange. On a real corpus the
+    # binary column arrives pre-split across many files and the
+    # repartition of the tiny id frame is still noise next to decode.
+    docs = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
     return docs.mapInPandas(_encode_batches, schema="doc_id long, payload binary")
 
 

@@ -120,6 +120,16 @@ def test_triangle_degree_orientation_invariant(spark, queries):
     exactly — same parts, same counts."""
     from census_postgres_py_spark.operators import ext_round4n
 
+    # Guard against a vacuous pass (r10 ADVICE): if footer stats were
+    # absent the forced run would silently fall back to id-orientation
+    # and forced == base would hold trivially. The same bounds check
+    # gates the remap inside the operator, so proving it non-None (and
+    # in packed-key range) here proves the orientation actually engages
+    # under the zeroed confs below.
+    bounds = ext_round4n._partkey_bounds(SF_SMOKE)
+    assert bounds is not None, "fixture parquet lost its footer stats"
+    assert 0 <= bounds[0] and bounds[1] <= 2**31 - 1
+
     base = {
         (r["l_partkey"], r["n_triangles"])
         for r in queries["graph_triangle_count"](spark, SF_SMOKE).collect()

@@ -365,6 +365,63 @@ def gen_events(mult: int, rng: np.random.Generator) -> pa.Table:
     )
 
 
+def gen_events_bursty(mult: int, rng: np.random.Generator) -> pa.Table:
+    """Time-skewed + user-skewed events — the streaming family's
+    adversarial corpus (r10 VERDICT item 6; the graph family got its
+    zipf twin in r10, streaming ops had only uniform arrivals).
+
+    Two skews, composed:
+
+    * HOT HOURS: 50% of events land within ±30 min of 8 burst centers
+      (flash-sale / incident shape) — a tumbling/sliding window at a
+      burst holds ~45x the uniform window's rows, and sessionize's
+      per-batch fold sees most of the corpus arrive in a few
+      micro-batches;
+    * HOT USERS: user_id is a Zipf(1.3) draw over 1500*mult users —
+      the head user carries ~26% of ALL events (measured 0.281/0.267/
+      0.261 at mult 1/10/100), so per-key state groups are radically
+      unequal (the hot-key applyInPandasWithState stress) and the hot
+      hour is ~43x the average hour's row count.
+
+    Same schema/dtypes as gen_events; ts sorted so event_id remains
+    time-correlated (the fixture invariant the feeds rely on).
+    """
+    n = 100_000 * mult
+    t0 = np.datetime64("2024-01-01", "us").astype(np.int64)
+    span = 30 * 86_400_000_000
+    n_burst = n // 2
+    centers = rng.choice(span, size=8, replace=False)
+    ts_burst = centers[rng.integers(0, 8, size=n_burst)] + rng.integers(
+        -1_800_000_000, 1_800_000_000, size=n_burst
+    )
+    ts_unif = rng.integers(0, span, size=n - n_burst)
+    ts = t0 + np.clip(np.concatenate([ts_burst, ts_unif]), 0, span - 1)
+    ts.sort()
+    n_users = 1500 * mult
+    # zipf draw, rejection-capped to the user-id range (zipf(1.3) has
+    # a heavy tail; resample the overflow against the same law)
+    uid = rng.zipf(1.3, size=n)
+    while (uid > n_users).any():
+        over = uid > n_users
+        uid[over] = rng.zipf(1.3, size=int(over.sum()))
+    uid -= 1  # zipf is 1-based; user ids start at 0
+    return pa.table(
+        {
+            "event_id": pa.array(np.arange(n), pa.int64()),
+            "ts": pa.array(ts.view("datetime64[us]"), pa.timestamp("us")),
+            "user_id": pa.array(uid.astype(np.int64), pa.int64()),
+            "event_type": pa.array(rng.choice(_E_TYPES, size=n), pa.string()),
+            "value": pa.array(
+                np.round(rng.uniform(0, 560, size=n), 2), pa.float64()
+            ),
+            "props": pa.array(
+                [f'{{"k": {int(k)}}}' for k in rng.integers(0, 100, size=n)],
+                pa.string(),
+            ),
+        }
+    )
+
+
 def gen_documents_heaps(n: int, rng: np.random.Generator) -> pa.Table:
     """Documents whose vocabulary GROWS with corpus size (Heaps' law,
     |V| ≈ 1.8·√n, Zipf-1.05 word frequencies) — the realistic web-corpus
@@ -509,6 +566,13 @@ def main() -> None:
         "mult=100, unlike the tpch basket loop); used to push the "
         "streaming-family scaling measurement to two decades",
     )
+    ap.add_argument(
+        "--events-bursty",
+        action="store_true",
+        help="only the BURSTY events table (hot-hour arrival spikes + "
+        "zipf hot users; see gen_events_bursty) — the streaming "
+        "family's adversarial corpus",
+    )
     args = ap.parse_args()
     rng = np.random.default_rng(42)
     os.makedirs(args.out, exist_ok=True)
@@ -542,6 +606,11 @@ def main() -> None:
         ev = gen_events(args.mult, rng)
         pq.write_table(ev, os.path.join(args.out, "events.parquet"))
         print(f"wrote {ev.num_rows} events -> {args.out}")
+        return
+    if args.events_bursty:
+        ev = gen_events_bursty(args.mult, rng)
+        pq.write_table(ev, os.path.join(args.out, "events.parquet"))
+        print(f"wrote {ev.num_rows} bursty events -> {args.out}")
         return
     docs = gen_documents(5000 * args.mult, rng)
     pq.write_table(docs, os.path.join(args.out, "documents.parquet"))
