@@ -44,6 +44,18 @@ N_BANDS = 16  # => rows-per-band r = 4
 # site). Cost is linear in postings (~1.6x on the hub corpus), payoff
 # is a candidate-set collapse on hot-vocabulary corpora.
 CONT_PREFIX_EXTRA = 3
+# Corpus-wide budget for the two-stage verify's one silent-miss mode
+# (two INTERSECTION shingles colliding in xxhash64 — see
+# _hashed_prefilter): when the birthday bound
+# votes_upper · max_n² / 2⁶⁵ exceeds this probability, the EXACT ops
+# fall back to the raw-shingle verify instead of the hashed prefilter,
+# so the two-stage path is provably exact at arbitrary scale rather
+# than argued at the measured one (r10 VERDICT item 7). The default
+# keeps the measured hub-100x decade (1.89e9 votes × ~600²-shingle
+# docs → p ≤ 2e-5) comfortably on the hashed path with ~50x headroom;
+# ≤ 0 forces the raw path (test hook / paranoid deployments).
+COLLISION_BUDGET_CONF = "spark.census.dedup.collisionBudget"
+_COLLISION_BUDGET = 1e-3
 
 # Shared oracle SQL fragment: documents + injected near-dup copies,
 # exploded to (doc_id, shingle) with per-doc distinct-shingle counts.
@@ -247,6 +259,35 @@ def _hashed_prefilter(
     )
 
 
+def _hashed_verify_within_budget(
+    shingled: DataFrame, prefix_with_df: DataFrame
+) -> bool:
+    """Collision-budget gate for the two-stage (hashed-prefilter)
+    verify — called only on the AT-SCALE path, never at fixture scale.
+
+    votes_upper = Σ over indexed prefix postings of df(shingle)
+    = Σ_s df_pre(s)·df(s) ≥ Σ_s df_pre(s)² ≥ #candidate pairs (every
+    candidate pair shares ≥ 1 indexed shingle, and the vote sum counts
+    each sharing once per side-combination). With |A∩B| ≤ max n_sh,
+    the corpus-wide undercount probability is bounded by
+    votes_upper · max_n² / 2⁶⁵ (birthday argument in
+    _hashed_prefilter's docstring). Within budget → hashed path; past
+    it → caller uses the raw-shingle verify, which has NO collision
+    mode at all. Both aggregations are linear passes over frames the
+    scale path has already checkpointed (shingled) or derived
+    (prefix), so the gate costs two small jobs where the verify itself
+    is the quadratic term."""
+    spark = shingled.sparkSession
+    budget = float(
+        spark.conf.get(COLLISION_BUDGET_CONF, str(_COLLISION_BUDGET))
+    )
+    if budget <= 0:
+        return False
+    votes = prefix_with_df.agg(F.sum("df")).collect()[0][0] or 0
+    max_n = shingled.agg(F.max("n_sh")).collect()[0][0] or 0
+    return float(votes) * float(max_n) ** 2 / 2.0**65 <= budget
+
+
 def _exact_jaccard_pairs(
     shingled: DataFrame, candidates: DataFrame, at_scale: bool = False
 ) -> DataFrame:
@@ -350,7 +391,7 @@ def _inverted_index_jaccard(
         "doc_id", "n_sh", F.explode("shingles").alias("shingle")
     )
     df_rank = ex.groupBy("shingle").agg(F.count("*").alias("df"))
-    prefix = (
+    pref_base = (
         ex.join(df_rank, "shingle")
         .withColumn(
             "pos",
@@ -359,8 +400,14 @@ def _inverted_index_jaccard(
             ),
         )
         .filter(F.col("pos") <= F.floor(F.col("n_sh") / 2) + 1)
-        .select("doc_id", "n_sh", "shingle")
     )
+    # df dropped BEFORE the candidate join — carrying it would widen
+    # every posting row of the hot self-join (the r10 containment
+    # regression pattern); the budget gate below aggregates it off a
+    # separate lightweight subtree instead
+    prefix = pref_base.select("doc_id", "n_sh", "shingle")
+    if at_scale:
+        at_scale = _hashed_verify_within_budget(shingled, pref_base)
     a = prefix.select(
         F.col("doc_id").alias("a_id"), F.col("n_sh").alias("a_n"), "shingle"
     )
@@ -412,6 +459,13 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     finds every injected pair. Shingle frame shared past fixture scale
     (_shared_shingled): the signature build and both exact-verify
     sides otherwise each re-shingle the corpus.
+
+    The collision-budget gate (_hashed_verify_within_budget) is
+    deliberately NOT applied here: this op's recall is already < 1 by
+    banding design, so a ≤ 2⁻⁶⁵-per-pair hash collision in the verify
+    is noise against the banding loss — the budget guard protects the
+    EXACT ops (jaccard/containment/cc), whose output contract is
+    row-identity with the naive plan.
     """
     docs = _with_dups(spark, sf_dir)
     at_scale = _docs_at_scale(spark, sf_dir, docs)
@@ -1012,7 +1066,7 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         # 1.18e9 -> 1.89e9 votes at 500k hub docs — the trade that
         # unlocks the 100x decade row).
         extra = CONT_PREFIX_EXTRA
-        prefix = (
+        pref_base = (
             ex.join(df_rank, "shingle")
             .withColumn("pos", pos)
             .filter(
@@ -1022,12 +1076,16 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
                     f" n_sh - (9 * n_sh + 9) DIV 10 + 1 + {extra})"
                 )
             )
-            .select(
-                F.col("doc_id").alias("a_id"),
-                F.col("n_sh").alias("a_n"),
-                "shingle",
-            )
         )
+        prefix = pref_base.select(
+            F.col("doc_id").alias("a_id"),
+            F.col("n_sh").alias("a_n"),
+            "shingle",
+        )
+        # collision-budget gate (r10 VERDICT item 7): past the budget
+        # the hashed prefilter is skipped and candidates go straight
+        # to the raw-shingle rescore — provably exact at any scale
+        hashed_ok = _hashed_verify_within_budget(shingled, pref_base)
         full = ex.select(
             F.col("doc_id").alias("b_id"),
             F.col("n_sh").alias("b_n"),
@@ -1045,11 +1103,14 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("shared_pre") >= vote_min)
             .select("a_id", "b_id")
         )
-        pre = _hashed_prefilter(shingled, cand)
-        survivors = pre.filter(
-            F.col("common_h").cast("double") / F.col("a_n") >= 0.9
-        ).select("a_id", "b_id")
-        scored = _rescore_survivors_raw(shingled, survivors)
+        if hashed_ok:
+            pre = _hashed_prefilter(shingled, cand)
+            survivors = pre.filter(
+                F.col("common_h").cast("double") / F.col("a_n") >= 0.9
+            ).select("a_id", "b_id")
+            scored = _rescore_survivors_raw(shingled, survivors)
+        else:
+            scored = _rescore_survivors_raw(shingled, cand)
     else:
         # Fixture scale: the vote machinery is a tautology at extra=0
         # (shared_pre >= 1 is exactly "shared a prefix shingle") but

@@ -240,6 +240,52 @@ def test_shingle_checkpoint_gate_is_output_invariant(spark, queries):
         spark.conf.unset(SHINGLE_CHECKPOINT_CONF)
 
 
+def test_collision_budget_gate_forces_raw_path(spark, queries):
+    """r10 VERDICT item 7: with the shingle gate forced open, the
+    exact ops take the two-stage hashed verify ONLY while inside the
+    collision budget. Budget ≤ 0 must force the raw-shingle verify,
+    and BOTH paths must reproduce the fixture output exactly — the
+    gate is a provable-exactness switch, never a semantic one."""
+    from census_postgres_py_spark.operators.dedup import (
+        COLLISION_BUDGET_CONF,
+        SHINGLE_CHECKPOINT_CONF,
+    )
+
+    ids = ("dedup_ngram_jaccard", "dedup_containment")
+    base = {
+        q: sorted(map(tuple, queries[q](spark, SF_SMOKE).collect()))
+        for q in ids
+    }
+    spark.conf.set(SHINGLE_CHECKPOINT_CONF, "1")  # open the scale gate
+    try:
+        # within budget (default): hashed two-stage path
+        for q in ids:
+            got = sorted(map(tuple, queries[q](spark, SF_SMOKE).collect()))
+            assert got == base[q], f"{q} (hashed path)"
+        # budget 0: raw verify fallback
+        spark.conf.set(COLLISION_BUDGET_CONF, "0")
+        for q in ids:
+            got = sorted(map(tuple, queries[q](spark, SF_SMOKE).collect()))
+            assert got == base[q], f"{q} (raw fallback path)"
+    finally:
+        spark.conf.unset(SHINGLE_CHECKPOINT_CONF)
+        spark.conf.unset(COLLISION_BUDGET_CONF)
+
+
+def test_collision_budget_bound_arithmetic(spark):
+    """The budget gate's birthday bound must keep the MEASURED decade
+    point (1.89e9 votes, ≤600-shingle docs → p ≤ 2e-5) on the hashed
+    path under the default budget, and trip once votes·max_n²/2⁶⁵
+    crosses it — pinned against the module constants so a future
+    budget tweak is a conscious choice."""
+    from census_postgres_py_spark.operators.dedup import _COLLISION_BUDGET
+
+    bound = lambda votes, max_n: votes * max_n**2 / 2.0**65  # noqa: E731
+    assert bound(1.89e9, 600) <= _COLLISION_BUDGET  # hub-100x decade
+    assert bound(1.89e9, 600) * 50 <= _COLLISION_BUDGET  # ≥50x headroom
+    assert bound(4e13, 1000) > _COLLISION_BUDGET  # eventually trips
+
+
 def test_embedding_cosine_has_no_driver_collect():
     """Round-2 verdict scale-killer: the op collected the whole
     embeddings table to the driver. The block-pair rewrite must keep
