@@ -494,6 +494,17 @@ def stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     periodic heartbeat messages bound result latency. Filtered out
     before the join, the heartbeat never appears in results, so the
     batch LEFT JOIN oracle still applies exactly.
+
+    Same TIME-BUCKET SALTING as stream_stream_join (r11; derivation
+    there): the equi-key carries the view's 30-minute bucket and
+    clicks explode to the 2 buckets their window can span, so a zipf
+    hot user's state spreads across time instead of serializing into
+    one partition. LEFT-OUTER null semantics survive the salt: every
+    click that could match a view lands in that view's own bucket key
+    (vb ∈ {cb−1, cb} ⟺ cb ∈ {vb, vb+1}), so a view emits NULL iff no
+    match exists ANYWHERE — and each view lives in exactly one key, so
+    at most one null row per view. Unmatched exploded clicks are the
+    right side of a left join and emit nothing.
     """
     src_dir = _scratch(
         f"ssl_src_{os.path.basename(sf_dir)}_{uuid.uuid4().hex[:8]}",
@@ -516,6 +527,7 @@ def stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", 1)
         .parquet(src_dir)
     )
+    bucket_ms = 1_800_000  # = the 30-minute window span
     views = (
         stream.filter(F.col("event_type").isin("view", "heartbeat"))
         .select(
@@ -524,7 +536,11 @@ def stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("ts").alias("view_ts"),
         )
         .withWatermark("view_ts", "1 hour")
+        .withColumn(
+            "vb", F.floor(F.unix_millis(F.col("view_ts")) / bucket_ms)
+        )
     )
+    cb = F.floor(F.unix_millis(F.col("click_ts")) / bucket_ms)
     clicks = (
         stream.filter(F.col("event_type").isin("click", "heartbeat"))
         .select(
@@ -533,12 +549,14 @@ def stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("ts").alias("click_ts"),
         )
         .withWatermark("click_ts", "1 hour")
+        .withColumn("cb", F.explode(F.array(cb, cb - 1)))
     )
     joined = views.join(
         clicks,
         F.expr(
             """
             user_id = click_user
+            AND vb = cb
             AND click_ts >= view_ts
             AND click_ts <= view_ts + interval 30 minutes
             """
