@@ -49,6 +49,10 @@ def main() -> None:
         SparkSession.builder.master(f"local[{args.cpus}]")
         .config("spark.sql.shuffle.partitions", "32")
         .config("spark.driver.memory", args.mem)
+        # the streaming ops return memory-sink tables; at the bursty
+        # decades their outputs are tens of millions of rows, which
+        # must fit the driver's result-size cap to be measurable
+        .config("spark.driver.maxResultSize", "8g")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .appName("decades-streaming-r11")
