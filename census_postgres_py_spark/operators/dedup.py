@@ -56,6 +56,21 @@ CONT_PREFIX_EXTRA = 3
 # ≤ 0 forces the raw path (test hook / paranoid deployments).
 COLLISION_BUDGET_CONF = "spark.census.dedup.collisionBudget"
 _COLLISION_BUDGET = 1e-3
+# Volume FLOOR for electing the hashed two-stage verify: below this
+# estimated raw-array candidate-shuffle size the prefilter's extra
+# joins cost more than the bytes they save. Measured on the web-vocab
+# 10x corpus (votes 1.3M, ~1.1 KB raw arrays → ~3 GB est. shuffle):
+# raw verify 15.8 s vs hashed 41.1 s, identical output — while the
+# hub-100x decade (votes 1.89e9 → ~4 TB est.) is the regime the
+# two-stage path exists for (raw ENOSPC'd at ~1 TB of actual shuffle,
+# r9 VERDICT item 2). The regimes sit 3 orders of magnitude apart, so
+# the default floor (64 GB) has huge margin on both sides.
+HASHED_VERIFY_MIN_BYTES_CONF = "spark.census.dedup.hashedVerifyMinBytes"
+_HASHED_VERIFY_MIN_BYTES = 64e9
+# Per-shingle raw-array cost estimate: 3 words of the measured corpora
+# average ~20 chars + UnsafeData array element overhead ≈ 40 B
+# (measured string content alone: 1118 B for avg 47 shingles ≈ 24 B).
+_EST_BYTES_PER_SHINGLE = 40
 
 # Shared oracle SQL fragment: documents + injected near-dup copies,
 # exploded to (doc_id, shingle) with per-doc distinct-shingle counts.
@@ -259,33 +274,56 @@ def _hashed_prefilter(
     )
 
 
-def _hashed_verify_within_budget(
+def _elect_hashed_verify(
     shingled: DataFrame, prefix_with_df: DataFrame
 ) -> bool:
-    """Collision-budget gate for the two-stage (hashed-prefilter)
-    verify — called only on the AT-SCALE path, never at fixture scale.
+    """Election of the two-stage (hashed-prefilter) verify for the
+    EXACT shingle-dedup ops — called only on the AT-SCALE path, never
+    at fixture scale. Two independent conditions, both from two small
+    aggregation jobs over frames the scale path already derived:
 
     votes_upper = Σ over indexed prefix postings of df(shingle)
     = Σ_s df_pre(s)·df(s) ≥ Σ_s df_pre(s)² ≥ #candidate pairs (every
     candidate pair shares ≥ 1 indexed shingle, and the vote sum counts
-    each sharing once per side-combination). With |A∩B| ≤ max n_sh,
-    the corpus-wide undercount probability is bounded by
-    votes_upper · max_n² / 2⁶⁵ (birthday argument in
-    _hashed_prefilter's docstring). Within budget → hashed path; past
-    it → caller uses the raw-shingle verify, which has NO collision
-    mode at all. Both aggregations are linear passes over frames the
-    scale path has already checkpointed (shingled) or derived
-    (prefix), so the gate costs two small jobs where the verify itself
-    is the quadratic term."""
+    each sharing once per side-combination).
+
+    1. VOLUME FLOOR (perf): estimated raw-array candidate shuffle
+       = votes_upper · 2 sides · avg_n_sh · _EST_BYTES_PER_SHINGLE
+       must exceed HASHED_VERIFY_MIN_BYTES_CONF. Below it the raw
+       single-stage verify is both faster (measured 15.8 vs 41.1 s on
+       the web-10x corpus — the prefilter's extra joins dominate) and
+       trivially exact; above it the hashed path is what fits in disk
+       at all (hub-100x: ~4 TB estimated, raw ENOSPC'd).
+    2. COLLISION BUDGET (safety): with |A∩B| ≤ max n_sh, corpus-wide
+       undercount probability ≤ votes_upper · max_n² / 2⁶⁵ (birthday
+       argument in _hashed_prefilter's docstring) must stay within
+       COLLISION_BUDGET_CONF, so the two-stage path is provably exact
+       at arbitrary scale, not argued at the measured one. Budget ≤ 0
+       forces the raw path outright (test hook).
+
+    Either way the output is row-identical — both verifies apply the
+    same unrounded threshold to the same candidate set."""
     spark = shingled.sparkSession
     budget = float(
         spark.conf.get(COLLISION_BUDGET_CONF, str(_COLLISION_BUDGET))
     )
     if budget <= 0:
         return False
-    votes = prefix_with_df.agg(F.sum("df")).collect()[0][0] or 0
-    max_n = shingled.agg(F.max("n_sh")).collect()[0][0] or 0
-    return float(votes) * float(max_n) ** 2 / 2.0**65 <= budget
+    votes = float(prefix_with_df.agg(F.sum("df")).collect()[0][0] or 0)
+    st = shingled.agg(
+        F.max("n_sh").alias("mx"), F.avg("n_sh").alias("av")
+    ).collect()[0]
+    max_n = float(st["mx"] or 0)
+    avg_n = float(st["av"] or 0.0)
+    min_bytes = float(
+        spark.conf.get(
+            HASHED_VERIFY_MIN_BYTES_CONF, str(_HASHED_VERIFY_MIN_BYTES)
+        )
+    )
+    est_bytes = votes * 2 * avg_n * _EST_BYTES_PER_SHINGLE
+    if est_bytes < min_bytes:
+        return False
+    return votes * max_n**2 / 2.0**65 <= budget
 
 
 def _exact_jaccard_pairs(
@@ -407,7 +445,7 @@ def _inverted_index_jaccard(
     # separate lightweight subtree instead
     prefix = pref_base.select("doc_id", "n_sh", "shingle")
     if at_scale:
-        at_scale = _hashed_verify_within_budget(shingled, pref_base)
+        at_scale = _elect_hashed_verify(shingled, pref_base)
     a = prefix.select(
         F.col("doc_id").alias("a_id"), F.col("n_sh").alias("a_n"), "shingle"
     )
@@ -460,7 +498,7 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     (_shared_shingled): the signature build and both exact-verify
     sides otherwise each re-shingle the corpus.
 
-    The collision-budget gate (_hashed_verify_within_budget) is
+    The collision-budget gate (_elect_hashed_verify) is
     deliberately NOT applied here: this op's recall is already < 1 by
     banding design, so a ≤ 2⁻⁶⁵-per-pair hash collision in the verify
     is noise against the banding loss — the budget guard protects the
@@ -1085,7 +1123,7 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         # collision-budget gate (r10 VERDICT item 7): past the budget
         # the hashed prefilter is skipped and candidates go straight
         # to the raw-shingle rescore — provably exact at any scale
-        hashed_ok = _hashed_verify_within_budget(shingled, pref_base)
+        hashed_ok = _elect_hashed_verify(shingled, pref_base)
         full = ex.select(
             F.col("doc_id").alias("b_id"),
             F.col("n_sh").alias("b_n"),

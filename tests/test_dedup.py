@@ -240,14 +240,17 @@ def test_shingle_checkpoint_gate_is_output_invariant(spark, queries):
         spark.conf.unset(SHINGLE_CHECKPOINT_CONF)
 
 
-def test_collision_budget_gate_forces_raw_path(spark, queries):
-    """r10 VERDICT item 7: with the shingle gate forced open, the
-    exact ops take the two-stage hashed verify ONLY while inside the
-    collision budget. Budget ≤ 0 must force the raw-shingle verify,
-    and BOTH paths must reproduce the fixture output exactly — the
-    gate is a provable-exactness switch, never a semantic one."""
+def test_hashed_verify_election_is_output_invariant(spark, queries):
+    """r10 VERDICT item 7 + the r11 volume floor: with the shingle
+    gate forced open, _elect_hashed_verify picks the verify mode from
+    (volume floor, collision budget). All three reachable states —
+    default election (volume floor rejects the tiny fixture → raw),
+    forced-hashed (floor 0), and forced-raw (budget 0) — must
+    reproduce the fixture output exactly: the election is a
+    perf/provable-exactness switch, never a semantic one."""
     from census_postgres_py_spark.operators.dedup import (
         COLLISION_BUDGET_CONF,
+        HASHED_VERIFY_MIN_BYTES_CONF,
         SHINGLE_CHECKPOINT_CONF,
     )
 
@@ -258,17 +261,23 @@ def test_collision_budget_gate_forces_raw_path(spark, queries):
     }
     spark.conf.set(SHINGLE_CHECKPOINT_CONF, "1")  # open the scale gate
     try:
-        # within budget (default): hashed two-stage path
+        # default election (fixture volume is far below the floor → raw)
         for q in ids:
             got = sorted(map(tuple, queries[q](spark, SF_SMOKE).collect()))
-            assert got == base[q], f"{q} (hashed path)"
-        # budget 0: raw verify fallback
+            assert got == base[q], f"{q} (default election)"
+        # floor 0: hashed two-stage path forced on
+        spark.conf.set(HASHED_VERIFY_MIN_BYTES_CONF, "0")
+        for q in ids:
+            got = sorted(map(tuple, queries[q](spark, SF_SMOKE).collect()))
+            assert got == base[q], f"{q} (forced hashed path)"
+        # budget 0 overrides the floor: raw verify forced
         spark.conf.set(COLLISION_BUDGET_CONF, "0")
         for q in ids:
             got = sorted(map(tuple, queries[q](spark, SF_SMOKE).collect()))
-            assert got == base[q], f"{q} (raw fallback path)"
+            assert got == base[q], f"{q} (forced raw path)"
     finally:
         spark.conf.unset(SHINGLE_CHECKPOINT_CONF)
+        spark.conf.unset(HASHED_VERIFY_MIN_BYTES_CONF)
         spark.conf.unset(COLLISION_BUDGET_CONF)
 
 
@@ -284,6 +293,25 @@ def test_collision_budget_bound_arithmetic(spark):
     assert bound(1.89e9, 600) <= _COLLISION_BUDGET  # hub-100x decade
     assert bound(1.89e9, 600) * 50 <= _COLLISION_BUDGET  # ≥50x headroom
     assert bound(4e13, 1000) > _COLLISION_BUDGET  # eventually trips
+
+
+def test_hashed_verify_volume_floor_arithmetic(spark):
+    """The volume floor must separate the two measured regimes: the
+    web-10x corpus (votes 1.34e6, avg 47 shingles — raw verify was
+    2.6x FASTER there) stays below the floor, the hub-100x decade
+    (votes 1.89e9, avg ~hundreds — raw ENOSPC'd) far above it. Pinned
+    against the module constants so a floor tweak is a conscious
+    choice."""
+    from census_postgres_py_spark.operators.dedup import (
+        _EST_BYTES_PER_SHINGLE,
+        _HASHED_VERIFY_MIN_BYTES,
+    )
+
+    est = lambda votes, avg_n: votes * 2 * avg_n * _EST_BYTES_PER_SHINGLE  # noqa: E731
+    assert est(1.34e6, 47) < _HASHED_VERIFY_MIN_BYTES  # web-10x → raw
+    assert est(1.34e6, 47) * 10 < _HASHED_VERIFY_MIN_BYTES  # margin
+    assert est(1.89e9, 200) > _HASHED_VERIFY_MIN_BYTES  # hub → hashed
+    assert est(1.89e9, 200) > 10 * _HASHED_VERIFY_MIN_BYTES  # margin
 
 
 def test_embedding_cosine_has_no_driver_collect():
