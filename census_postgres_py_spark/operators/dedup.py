@@ -1120,9 +1120,11 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_sh").alias("a_n"),
             "shingle",
         )
-        # collision-budget gate (r10 VERDICT item 7): past the budget
-        # the hashed prefilter is skipped and candidates go straight
-        # to the raw-shingle rescore — provably exact at any scale
+        # hashed-verify election (r10 item 7 + r11 volume floor):
+        # below the shuffle-volume floor, or past the collision
+        # budget, the hashed prefilter is skipped and candidates go
+        # straight to the raw-shingle rescore — faster at mid-scale,
+        # provably exact at any scale
         hashed_ok = _elect_hashed_verify(shingled, pref_base)
         full = ex.select(
             F.col("doc_id").alias("b_id"),
