@@ -443,9 +443,17 @@ def _inverted_index_jaccard(
     # every posting row of the hot self-join (the r10 containment
     # regression pattern); the budget gate below aggregates it off a
     # separate lightweight subtree instead
-    prefix = pref_base.select("doc_id", "n_sh", "shingle")
     if at_scale:
+        # Materialize the prefix subtree (ex⋈df_rank + per-doc window)
+        # ONCE before the election's eager Σdf agg — otherwise the
+        # election job and the candidate join below each compute it in
+        # full, exactly in the regime where it is expensive (r11
+        # ADVICE). Prefix postings are a ~⌊n/2⌋+1 slice of the shingle
+        # frame, so the checkpoint is smaller than the already-
+        # checkpointed `shingled` it derives from.
+        pref_base = pref_base.localCheckpoint()
         at_scale = _elect_hashed_verify(shingled, pref_base)
+    prefix = pref_base.select("doc_id", "n_sh", "shingle")
     a = prefix.select(
         F.col("doc_id").alias("a_id"), F.col("n_sh").alias("a_n"), "shingle"
     )
@@ -1115,6 +1123,10 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             )
         )
+        # materialize once: the election's Σdf agg below and the
+        # candidate join both consume this subtree (r11 ADVICE — see
+        # the matching note in the Jaccard op)
+        pref_base = pref_base.localCheckpoint()
         prefix = pref_base.select(
             F.col("doc_id").alias("a_id"),
             F.col("n_sh").alias("a_n"),

@@ -142,11 +142,14 @@ def _tile_rows_default(spark: SparkSession) -> int:
     mem = None
     conf_mem = spark.conf.get("spark.executor.memory", None)
     if conf_mem:
-        m = re.fullmatch(r"(\d+)([kmgt]?)b?", conf_mem.strip().lower())
+        m = re.fullmatch(r"(\d+)([kmgt]?)(b?)", conf_mem.strip().lower())
         if m:
-            mem = int(m.group(1)) * 1024 ** (
-                " kmgt".index(m.group(2) or " ")
-            )
+            # Spark's getSizeAsMb reads a suffix-LESS number as MiB —
+            # '4096' means 4 GiB — while an explicit 'b' means bytes.
+            # Mirror both, or a bare value silently clamps the tile
+            # edge to the floor (r11 ADVICE).
+            unit = m.group(2) or ("" if m.group(3) else "m")
+            mem = int(m.group(1)) * 1024 ** " kmgt".index(unit or " ")
     if mem is None:
         try:
             mem = os.sysconf("SC_PHYS_PAGES") * os.sysconf("SC_PAGE_SIZE")

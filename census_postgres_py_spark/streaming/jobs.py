@@ -1012,6 +1012,30 @@ def _sessionize_run_stateful(
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+    # The worker-side datetime64→int64 epoch-ms conversion in the fold
+    # below equals engine-side unix_millis(ts) ONLY when the session
+    # timezone has zero UTC offset: pandas-UDF timestamps arrive
+    # rendered in the SESSION timezone, tz-naive, so any offset zone
+    # would shift start_ms by that offset (r11 ADVICE — make the
+    # coupling explicit, not incidental). Accept any UTC-equivalent
+    # zone by resolved offset, not by name: our tuned session pins
+    # "UTC" but the driver's vanilla session inherits the JVM default
+    # ("Etc/UTC" on the harness hosts). Winter+summer probes reject
+    # DST zones that merely pass through offset 0.
+    import zoneinfo
+    from datetime import datetime, timedelta
+
+    _tz_name = spark.conf.get("spark.sql.session.timeZone")
+    _tz = zoneinfo.ZoneInfo(_tz_name)
+    assert all(
+        datetime(2024, m, 1, tzinfo=_tz).utcoffset() == timedelta(0)
+        for m in (1, 7)
+    ), (
+        f"sessionize fold requires a UTC-offset session timezone; got "
+        f"spark.sql.session.timeZone={_tz_name!r} (pandas-UDF "
+        f"timestamps are rendered in session tz, shifting start_ms)"
+    )
+
     gap_ms = 1_800_000
 
     def update(key, pdfs, state: GroupState):

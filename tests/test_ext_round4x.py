@@ -116,3 +116,44 @@ def test_manifest_prune_matches_full_scan(spark, queries):
     )
     assert (got["n"] == full["n"]).all()
     assert (got["cents"] == full["cents"]).all()
+
+
+def test_tile_rows_memory_parse_matches_spark_size_semantics():
+    """_tile_rows_default must read spark.executor.memory the way
+    Spark's getSizeAsMb does: bare number = MiB, explicit 'b' = bytes,
+    k/m/g/t suffixes = binary units (r11 ADVICE — a bare '4096' used
+    to parse as 4096 BYTES and silently clamp to the 2048 floor)."""
+    from census_postgres_py_spark.operators.ext_round4x import (
+        _tile_rows_default,
+    )
+
+    class _Conf:
+        def __init__(self, mem):
+            self._mem = mem
+
+        def get(self, key, default=None):
+            return self._mem if key == "spark.executor.memory" else default
+
+    class _SC:
+        defaultParallelism = 32
+
+    class _Spark:
+        sparkContext = _SC()
+
+        def __init__(self, mem):
+            self.conf = _Conf(mem)
+
+    def rows(mem):
+        return _tile_rows_default(_Spark(mem))
+
+    # bare == m-suffix == g-suffix at the same size (MiB semantics);
+    # 16 GiB/32 cores sits strictly between the clamps, so a bytes
+    # misparse (floor) or unit inflation (ceiling) both fail this
+    assert rows("16384") == rows("16384m") == rows("16g")
+    assert 2048 < rows("16384") < 8192
+    # explicit byte suffix stays bytes → tiny mem → floor clamp
+    assert rows("4096b") == 2048
+    # huge boxes clamp to the ceiling
+    assert rows("1t") == 8192
+    # sanity: the 128 GiB/32-core bench box lands on the ceiling
+    assert rows("131072m") == 8192
