@@ -428,6 +428,14 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     eviction is unchanged — the watermark + range condition still
     bound both buffers.
     """
+    return _run_to_memory(_ss_join_plan(spark, sf_dir), "append")
+
+
+def _ss_join_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The salted stream-stream join as an un-sunk streaming DF —
+    shared by the registered op (memory sink, driver contract) and by
+    tools/decades_streaming_filesink_r12.py (parquet sink), so the
+    decade evidence drives the REAL plan, not a copy."""
     ev = _events_stream(spark, sf_dir)
     bucket_ms = 1_800_000  # = the 30-minute window span
     views = (
@@ -453,7 +461,7 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withWatermark("click_ts", "1 hour")
         .withColumn("cb", F.explode(F.array(cb, cb - 1)))
     )
-    joined = views.join(
+    return views.join(
         clicks,
         F.expr(
             """
@@ -464,7 +472,6 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             """
         ),
     ).select("view_id", "click_id", "user_id")
-    return _run_to_memory(joined, "append")
 
 
 @register(

@@ -53,13 +53,38 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def load_map(path: str) -> dict[str, float]:
+def load_map(path: str) -> tuple[dict[str, float], float | None]:
+    """Returns (per-query timing map, embedded drift factor or None).
+
+    Since r12 bench.py embeds its own host calibration — warm-min
+    probes over three never-changed queries against pinned r9 anchors
+    — as ``calib``/``calib_anchors``/``drift`` fields (bench.py
+    CALIBRATION_ANCHORS). When the suspect artifact carries one, it is
+    the preferred normalizer: probe queries cannot contain a code
+    regression by construction, while the cross-map median can be
+    dragged by real regressions or by a changed query mix."""
     d = json.load(open(path))
+    drift = None
     if isinstance(d, dict) and "queries" in d:
+        drift = d.get("drift")
+        calib, anchors = d.get("calib"), d.get("calib_anchors")
+        # an explicit "drift": null means bench ran OFF the anchor
+        # config (wrong sf/cpus) and suppressed the ratio on purpose —
+        # only reconstruct when the field is genuinely absent
+        if drift is None and "drift" not in d and calib and anchors:
+            rs = sorted(
+                calib[q] / anchors[q]
+                for q in calib
+                if q in anchors and calib[q] > 0 and anchors[q] > 0
+            )
+            drift = rs[len(rs) // 2] if rs else None
         d = d["queries"]
     if not isinstance(d, dict) or not d:
         raise SystemExit(f"{path}: not a per-query timing map")
-    return {k: float(v) for k, v in d.items() if isinstance(v, (int, float))}
+    return (
+        {k: float(v) for k, v in d.items() if isinstance(v, (int, float))},
+        drift,
+    )
 
 
 def main() -> int:
@@ -77,8 +102,8 @@ def main() -> int:
     )
     args = ap.parse_args()
 
-    anchor = load_map(args.anchor)
-    new = load_map(args.new)
+    anchor, _ = load_map(args.anchor)
+    new, calib_drift = load_map(args.new)
     common = sorted(set(anchor) & set(new))
     if not common:
         print("no common query ids between the two maps")
@@ -92,6 +117,14 @@ def main() -> int:
         f"median {med:.3f}  mean {mean:.3f}  "
         f"p90 {rs[int(0.9 * len(rs))]:.3f}"
     )
+    norm = med
+    if calib_drift is not None:
+        print(
+            f"embedded host calibration: drift {calib_drift:.3f} "
+            f"(bench.py probe warm-mins vs pinned r9 anchors) — "
+            f"using it as the regression-threshold normalizer"
+        )
+        norm = calib_drift
     outliers = [
         q
         for q, r in ratios.items()
@@ -102,7 +135,7 @@ def main() -> int:
         print(
             f"no outliers (> {args.outlier_ratio}x with anchor >= "
             f"{args.min_sec}s) — verdict: "
-            + ("UNIFORM DRIFT" if med > 1.1 else "AT ANCHOR")
+            + ("UNIFORM DRIFT" if norm > 1.1 else "AT ANCHOR")
         )
         return 0
 
@@ -155,7 +188,7 @@ def main() -> int:
         # the verdict stable whether the tool runs on a calm or a
         # drifted host (on a calm host median ≈ 1 and the raw
         # threshold applies unchanged).
-        if warm <= args.confirm_ratio * max(1.0, med) * anchor[q]:
+        if warm <= args.confirm_ratio * max(1.0, norm) * anchor[q]:
             verdict = "drift"
         elif anchor[q] < 2.0:
             # the repo's documented scatter class: host load moves
@@ -197,7 +230,7 @@ def main() -> int:
             if inconclusive
             else " — all outliers are host drift"
         )
-        + f"; distribution median {med:.3f}"
+        + f"; distribution median {med:.3f}, normalizer {norm:.3f}"
     )
     return 0
 
