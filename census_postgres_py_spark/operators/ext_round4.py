@@ -1027,9 +1027,16 @@ def mm_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     all-pairs."""
     from census_postgres_py_spark.operators.multimodal import _payloads
 
+    # localCheckpoint (r12): the band self-join consumes this frame on
+    # BOTH sides, and an opaque MapInPandas subtree never canonicalizes
+    # to a ReusedExchange — the r11 plan ran the encode+phash python
+    # chain TWICE (once per join branch). The frame is 16 bytes/image
+    # (exactly the at-ingest hash column of the 100-TB design), so
+    # materializing it is the decide-on-small-rows move: decode once,
+    # self-join the lightweight hashes.
     hashes = _payloads(spark, sf_dir).mapInPandas(
         _phash_batches, schema="doc_id long, phash long"
-    )
+    ).localCheckpoint()
     bands = hashes.select(
         "doc_id",
         "phash",
@@ -1059,19 +1066,25 @@ def mm_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "band_idx",
         "band_val",
     )
-    cand = (
-        a.join(b, ["band_idx", "band_val"])
-        .filter(F.col("a_id") < F.col("b_id"))
-        .select("a_id", "b_id", "a_hash", "b_hash")
-        .distinct()
-    )
+    # Popcount BEFORE the distinct (r12): hamming is a codegen'd
+    # per-row expression over columns already in hand, so running it on
+    # the raw join output costs nothing extra, while deduping only the
+    # SURVIVORS shrinks the distinct's exchange from every candidate
+    # pair (measured 866k distinct / 1.14M raw rows at sf0.1) to the
+    # qualifying pairs times their band multiplicity (≤ 8 × 17.3k) —
+    # shuffle-fewer-bytes applied to the one exchange this op has.
+    # Same output set: (a_id, b_id) determines (a_hash, b_hash), hence
+    # hamming, so filter∘distinct ≡ distinct∘filter here.
     ham = F.bit_count(
         F.col("a_hash").bitwiseXOR(F.col("b_hash"))
     ).cast("long")
     return (
-        cand.withColumn("hamming", ham)
+        a.join(b, ["band_idx", "band_val"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .withColumn("hamming", ham)
         .filter(F.col("hamming") <= _PHASH_HAM)
         .select("a_id", "b_id", "hamming")
+        .distinct()
     )
 
 
