@@ -381,9 +381,19 @@ def graph_pagerank_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     logic bug.
     """
     li = t(spark, sf_dir, "lineitem")
+    # localCheckpoint (r12): eraw feeds the symmetrizing union TWICE,
+    # and through it deg + the three unrolled iterations — six
+    # consumers of the same distinct subtree. AQE's ReusedExchange
+    # dedups the shuffle WRITE but every consumer still re-runs the
+    # reduce-side distinct aggregation; materializing the ~|E| two-long
+    # frame runs it once. Interleaved same-JVM A/B at sf0.1 (5 pairs):
+    # 3.18 -> 2.58 s warm-min, checkpoint side won all 5 pairs. (The
+    # r5-era note below about localCheckpoint LOSING applied to the
+    # fatter edges-join-deg frame, whose blocking materialization cost
+    # more than it saved; the narrow eraw frame is the cheap one.)
     eraw = li.select(
         F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p")
-    ).distinct()
+    ).distinct().localCheckpoint()
     edges = eraw.select(
         F.col("s").alias("src"), (F.col("p") + 1000000).alias("dst")
     ).unionAll(
