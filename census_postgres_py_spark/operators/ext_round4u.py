@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from census_postgres_py_spark.operators.ext_round4n import _edges
+from census_postgres_py_spark.operators.ext_round4n import _closure_levels
 from census_postgres_py_spark.registry import register
 from census_postgres_py_spark.tables import t
 
@@ -251,23 +251,14 @@ def hier_rollup_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from functools import reduce as _reduce
 
-    edges = _edges(spark, sf_dir)
-    up = edges.select(
-        F.col("child").alias("hop"), F.col("parent").alias("up_parent")
-    )
+    # Shared footer-bounded closure (r12): the r11 copy of the unroll
+    # loop probed isEmpty per hop — each probe a build-time job
+    # re-running the whole chain (15 build jobs at sf0.1); see
+    # hier_flatten for the bound derivation and fallback.
     levels = [
-        edges.select(
-            F.col("parent").alias("anc"), F.col("child").alias("des")
-        )
+        lv.select("anc", "des")
+        for lv in _closure_levels(spark, sf_dir)
     ]
-    frontier = levels[0]
-    for _ in range(18):
-        frontier = frontier.join(
-            up, frontier["anc"] == up["hop"]
-        ).select(F.col("up_parent").alias("anc"), "des")
-        if frontier.isEmpty():
-            break
-        levels.append(frontier)
     cl = _reduce(DataFrame.unionAll, levels)
     spend = (
         t(spark, sf_dir, "orders")
