@@ -30,6 +30,29 @@ TABLE_NAMES = (
 BROADCAST_DIMS = ("region", "nation")
 
 
+#: (path, stat fingerprint) -> inferred Spark schema. Every bare
+#: ``spark.read.parquet`` runs a 1-task schema-inference JOB (~70 ms
+#: warm, and a host-stall exposure point); an explicit ``.schema(...)``
+#: read plans with zero jobs (measured 20 reads: 1.68 s inferred vs
+#: 0.34 s explicit). The first read of each fixture path infers
+#: exactly as before and caches Spark's OWN StructType, so later reads
+#: are byte-identical in semantics; the mtime+size fingerprint drops
+#: the entry if a harness regenerates the file in-process. Metadata
+#: only — no data or results are cached (r12, guide §1.2 "remove
+#: driver-blocking work").
+_SCHEMA_CACHE: dict = {}
+
+
+def _path_fingerprint(path: str):
+    import os
+
+    try:
+        st = os.stat(path)
+        return (st.st_mtime_ns, st.st_size)
+    except OSError:
+        return None
+
+
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Columnar scan of one fixture table.
 
@@ -45,7 +68,15 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    path = f"{sf_dir}/{name}.parquet"
+    fp = _path_fingerprint(path)
+    cached = _SCHEMA_CACHE.get(path)
+    if cached is not None and fp is not None and cached[0] == fp:
+        df = spark.read.schema(cached[1]).parquet(path)
+    else:
+        df = spark.read.parquet(path)
+        if fp is not None:
+            _SCHEMA_CACHE[path] = (fp, df.schema)
     if name == "events" and dict(df.dtypes)["ts"] == "bigint":  # legacy NANOS
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     # Newer testdata generations write TIMESTAMP(MICROS, isAdjustedToUTC=
