@@ -397,6 +397,53 @@ def emb_dedup_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _file_zones(files):
+    """Per-file (path, min, max) of o_orderkey straight from the
+    parquet FOOTER statistics — the actual metadata read a table
+    format's planner does (r12; the r11 version scanned every data
+    page through a groupBy(input_file_name) to recompute what the
+    writer already recorded). Returns None when any file lacks
+    min/max stats so the caller can fall back to the scan."""
+    try:
+        import pyarrow.parquet as pq
+
+        zones = []
+        for fpath in files:
+            md = pq.ParquetFile(fpath).metadata
+            idx = md.schema.names.index("o_orderkey")
+            mn, mx = None, None
+            for rg in range(md.num_row_groups):
+                stats = md.row_group(rg).column(idx).statistics
+                if stats is None or not stats.has_min_max:
+                    return None
+                mn = stats.min if mn is None else min(mn, stats.min)
+                mx = stats.max if mx is None else max(mx, stats.max)
+            if mn is None:
+                continue  # empty file: no zone, never kept
+            zones.append((fpath, mn, mx))
+        return zones or None
+    except Exception:
+        return None
+
+
+def _file_zones_scan(spark, files):
+    """Statless fallback: derive the zones with one distributed scan
+    (the r11 plan)."""
+    rows = (
+        spark.read.parquet(*files)
+        .select("o_orderkey", F.input_file_name().alias("path"))
+        .groupBy("path")
+        .agg(
+            F.min("o_orderkey").alias("mn"),
+            F.max("o_orderkey").alias("mx"),
+        )
+        .collect()
+    )
+    return [
+        (r["path"].removeprefix("file://"), r["mn"], r["mx"]) for r in rows
+    ]
+
+
 @register(
     "pipeline_manifest_prune_e2e",
     oracle="""
@@ -430,10 +477,17 @@ def pipeline_manifest_prune_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     # Query the second key octile-pair [N/4, N/2) — relative bounds so
     # the op is meaningful at every scale factor (keys are dense 0..N-1).
+    # max key from the parquet footer stats when present (O(1), no scan
+    # job — the _key_bounds discipline); the agg is the statless
+    # fallback.
+    from census_postgres_py_spark.operators.ext_round4n import _key_bounds
+
+    kb = _key_bounds(sf_dir, "orders", "o_orderkey")
     n_keys = (
-        t(spark, sf_dir, "orders").agg(F.max("o_orderkey")).collect()[0][0]
-        + 1
-    )
+        kb[1]
+        if kb is not None
+        else t(spark, sf_dir, "orders").agg(F.max("o_orderkey")).collect()[0][0]
+    ) + 1
     lo, hi = n_keys // 4, n_keys // 2 - 1
     base = _scratch(f"orders_zoned_{os.path.basename(sf_dir)}")
     if not os.path.exists(os.path.join(base, "_SUCCESS")):
@@ -448,21 +502,8 @@ def pipeline_manifest_prune_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         for f in os.listdir(base)
         if f.endswith(".parquet")
     ]
-    manifest = (
-        spark.read.parquet(*files)
-        .select("o_orderkey", F.input_file_name().alias("path"))
-        .groupBy("path")
-        .agg(
-            F.min("o_orderkey").alias("mn"),
-            F.max("o_orderkey").alias("mx"),
-        )
-        .collect()
-    )
-    keep = [
-        r["path"].removeprefix("file://")
-        for r in manifest
-        if r["mx"] >= lo and r["mn"] <= hi
-    ]
+    manifest = _file_zones(files) or _file_zones_scan(spark, files)
+    keep = [p for p, mn, mx in manifest if mx >= lo and mn <= hi]
     assert 0 < len(keep) < len(files), "zone map must actually prune"
     pruned = spark.read.parquet(*keep).filter(
         F.col("o_orderkey").between(lo, hi)
