@@ -175,21 +175,63 @@ def _events_stream(spark: SparkSession, sf_dir: str, max_files: int | None = Non
     return reader.parquet(src_dir)
 
 
-def _run_to_memory(df: DataFrame, output_mode: str) -> DataFrame:
+#: State-store partition count for the SMALL-STATE streaming ops
+#: (watermark/windowed aggs, dropDuplicatesWithinWatermark, per-user
+#: custom state: ≤100k state keys on every fixture decade). Streaming
+#: state partitioning is fixed by spark.sql.shuffle.partitions at
+#: checkpoint creation, and every partition costs a store commit per
+#: micro-batch, so the session's scan-sized default (32) quadruples
+#: the fixed cost for nothing — the stream_sessionize_state knob
+#: table established the pattern (its own A/B keeps 8). Interleaved
+#: A/B at sf0.1, 4-5 pairs each, parts 32 → 8 warm-min (r12):
+#: stream_watermark 1.60→0.98, stream_dedup_state 2.20→1.31,
+#: stream_custom_state 5.40→4.11, stream_static_join 1.56→1.00,
+#: stream_windowed_topk 4.23→2.27 — 8 won every pair, outputs
+#: identical (partition count is execution detail). NOT applied to
+#: the stream-stream joins: their time-bucket-salted state is
+#: pair-scale and the r11 salting was validated 32-wide. A production
+#: deployment sizes this to its own state cardinality via the conf at
+#: stream launch.
+STREAM_STATE_PARTS_CONF = "spark.census.stream.statePartitions"
+_STREAM_STATE_PARTS = 8
+
+
+def _run_to_memory(
+    df: DataFrame, output_mode: str, state_parts: int | None = None
+) -> DataFrame:
     """Drive a streaming DF to completion into a memory sink; return
-    the materialized table as a batch DataFrame."""
+    the materialized table as a batch DataFrame. ``state_parts`` swaps
+    spark.sql.shuffle.partitions for the query's lifetime (the value
+    is locked into the state store at checkpoint creation) — session-
+    global during the swap, restored in the finally, same caveat as
+    the sessionize knob."""
+    spark = df.sparkSession
     name = f"sink_{uuid.uuid4().hex[:12]}"
-    q = (
-        df.writeStream.outputMode(output_mode)
-        .format("memory")
-        .queryName(name)
-        .start()
-    )
+    old_parts = None
+    if state_parts is not None:
+        old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_parts))
     try:
-        q.processAllAvailable()
+        q = (
+            df.writeStream.outputMode(output_mode)
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     finally:
-        q.stop()
-    return df.sparkSession.table(name)
+        if old_parts is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+    return spark.table(name)
+
+
+def _small_state_parts(spark: SparkSession) -> int:
+    return int(
+        spark.conf.get(STREAM_STATE_PARTS_CONF, str(_STREAM_STATE_PARTS))
+    )
 
 
 @register(
@@ -218,7 +260,9 @@ def stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
         .select(F.unix_millis(F.col("w.start")).alias("hour_ms"), "n", "total_value")
     )
-    return _run_to_memory(agg, "complete")
+    return _run_to_memory(
+        agg, "complete", state_parts=_small_state_parts(spark)
+    )
 
 
 @register(
@@ -261,9 +305,9 @@ def stream_dedup_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     deduped = stream.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
         ["event_id"]
     )
-    return _run_to_memory(deduped, "append").select(
-        "event_id", "event_type", "user_id"
-    )
+    return _run_to_memory(
+        deduped, "append", state_parts=_small_state_parts(spark)
+    ).select("event_id", "event_type", "user_id")
 
 
 @register(
@@ -371,7 +415,9 @@ def stream_custom_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    sunk = _run_to_memory(updates, "update")
+    sunk = _run_to_memory(
+        updates, "update", state_parts=_small_state_parts(spark)
+    )
     # last update per user == the full accumulation
     final = sunk.groupBy("user_id").agg(
         F.max("n_events").cast("long").alias("n_events"),
@@ -619,7 +665,9 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    return _run_to_memory(agg, "complete")
+    return _run_to_memory(
+        agg, "complete", state_parts=_small_state_parts(spark)
+    )
 
 
 @register(
@@ -1266,6 +1314,11 @@ def stream_windowed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Complete output mode emits every window for the oracle compare;
     ties break on event_type for a total order.
+
+    State partitions are sized to STATE CARDINALITY, not the session's
+    scan-sized shuffle default — see _STREAM_STATE_PARTS (the
+    stream_sessionize_state precedent; A/B table and the conf override
+    live at the constant).
     """
     ev = _events_stream(spark, sf_dir)
     counts = (
@@ -1278,7 +1331,9 @@ def stream_windowed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
         )
     )
-    sunk = _run_to_memory(counts, "complete")
+    sunk = _run_to_memory(
+        counts, "complete", state_parts=_small_state_parts(spark)
+    )
     w = Window.partitionBy("hour_ms").orderBy(
         F.col("n").desc(), "event_type"
     )
