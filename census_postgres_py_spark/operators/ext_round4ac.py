@@ -24,6 +24,7 @@ from pyspark.sql.window import Window
 from census_postgres_py_spark.functions.text import tokens
 from census_postgres_py_spark.registry import register
 from census_postgres_py_spark.tables import (
+    approx_rows,
     gated_broadcast,
     t,
     vocab_rows_per_doc,
@@ -116,7 +117,7 @@ _SIG_K = 5  # signature size: top-weight terms per doc
 _COS_TH = 0.5
 
 
-def _tfidf_cosine_small_vocab(spark, sig, norms) -> DataFrame:
+def _tfidf_cosine_small_vocab(spark, sig) -> DataFrame:
     """Single-pass exact plan for hub-vocabulary corpora (see the
     dedup_tfidf_cosine docstring's PLAN CHOICE note).
 
@@ -143,24 +144,24 @@ def _tfidf_cosine_small_vocab(spark, sig, norms) -> DataFrame:
     # norms ride the index rows as 8-byte doubles, not 16-byte decimals
     # — the cast is deterministic and happens before the final cos
     # division either way, so the value is bit-identical while the
-    # pair-scale shuffle drops ~16 bytes/row and min() gets cheaper
-    nrm_a = norms.select(
+    # pair-scale shuffle drops ~16 bytes/row and min() gets cheaper.
+    # r13: nsq arrives ON the sig rows (window over the signature
+    # exchange, see dedup_tfidf_cosine) — the former sig⋈norms joins
+    # here were 4 of this plan's 6 exchanges (2 norm aggs + 2
+    # doc_id-keyed SMJs), all removed outright (guide §2.4).
+    a = sig.select(
         F.col("doc_id").alias("da"),
+        "lang",
+        "term",
+        F.col("w").alias("wa"),
         F.col("nsq").cast("double").alias("na"),
     )
-    nrm_b = norms.select(
+    b = sig.select(
         F.col("doc_id").alias("db"),
-        F.col("nsq").cast("double").alias("nb"),
-    )
-    a = sig.join(nrm_a, sig.doc_id == nrm_a.da).select(
-        "da", "lang", "term", F.col("w").alias("wa"), "na"
-    )
-    b = sig.join(nrm_b, sig.doc_id == nrm_b.db).select(
-        "db",
         F.col("lang").alias("lb"),
         F.col("term").alias("tb"),
         F.col("w").alias("wb"),
-        "nb",
+        F.col("nsq").cast("double").alias("nb"),
     )
     npart = int(spark.conf.get("spark.sql.shuffle.partitions"))
     a = a.repartition(npart, "term", "lang")
@@ -307,13 +308,27 @@ def dedup_tfidf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     its ≪ full⋈full candidate count and stays.
     """
     docs = t(spark, sf_dir, "documents")
-    langs = docs.select("doc_id", "lang")
-    toks = docs.select("doc_id", F.explode(tokens("text")).alias("term"))
-    tf = toks.groupBy("doc_id", "term").agg(
+    # r13: lang rides the token rows through the tf aggregation (it is
+    # functionally dependent on doc_id — one lang per document — so
+    # grouping by (doc_id, lang, term) forms exactly the same groups as
+    # (doc_id, term)) instead of a separate documents scan broadcast-
+    # joined onto the signature frame: one fewer scan, one fewer join,
+    # one fewer serial build job under the lazy checkpoint, for ~a few
+    # bytes of lang per tf shuffle row.
+    toks = docs.select(
+        "doc_id", "lang", F.explode(tokens("text")).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "lang", "term").agg(
         F.count("*").cast("long").alias("tf")
     )
     dfreq = tf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
-    nd = docs.agg(F.count("*").cast("double").alias("n"))
+    # r13: the corpus row count is EXACT in the parquet footer
+    # (approx_rows — falls back to a count() only for statless
+    # sources, returning the same value either way), so the former
+    # count() aggregation + scalar broadcast — one more serial
+    # driver-blocking build job under the lazy checkpoint — folds to a
+    # literal (guide §6 footer metadata, the hier/manifest discipline).
+    nd = float(approx_rows(spark, sf_dir, "documents"))
     cells = (
         # dfreq/maxw are vocabulary-scale (grows with the corpus via
         # Heaps' law) — gated like every fact-scale hint
@@ -321,9 +336,10 @@ def dedup_tfidf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark, sf_dir, "documents", dfreq,
             rows_per_source_row=vocab_rows_per_doc(sf_dir),
         ), "term")
-        .crossJoin(F.broadcast(nd))
+        .withColumn("n", F.lit(nd))
         .select(
             "doc_id",
+            "lang",
             "term",
             "df",
             F.floor(
@@ -338,31 +354,43 @@ def dedup_tfidf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_sig = Window.partitionBy("doc_id").orderBy(
         F.col("w").desc(), F.col("term")
     )
+    # r13: the squared norm rides each signature row as a second
+    # window over the SAME doc_id partitioning (the rn window already
+    # clustered+sorted by doc_id, so this adds zero exchange and zero
+    # sort) instead of a separate groupBy frame. Decimal addition is
+    # exact integer arithmetic, so the window sum equals the old
+    # groupBy sum bit-for-bit regardless of order; every former
+    # sig⋈norms join downstream becomes a projection (guide §2.4 —
+    # window keyed like the preceding aggregation needs no second
+    # shuffle).
     sig = (
         cells.withColumn("rn", F.row_number().over(w_sig))
         .filter(F.col("rn") <= _SIG_K)
-        .join(langs, "doc_id")
-        .select("doc_id", "lang", "term", "df", "w")
+        .withColumn(
+            "nsq",
+            F.sum((F.col("w") * F.col("w")).cast(_D38)).over(
+                Window.partitionBy("doc_id")
+            ),
+        )
+        .select("doc_id", "lang", "term", "df", "w", "nsq")
     )
     sig = sig.localCheckpoint(eager=False)
-    norms = sig.groupBy("doc_id").agg(
-        F.sum((F.col("w") * F.col("w")).cast(_D38)).alias("nsq")
-    )
     small_vocab_max = int(
         spark.conf.get(_SMALL_VOCAB_CONF, str(_SMALL_VOCAB_MAX))
     )
     if vocab_sample_distinct(sf_dir) <= small_vocab_max:
-        return _tfidf_cosine_small_vocab(spark, sig, norms)
+        return _tfidf_cosine_small_vocab(spark, sig)
     # prefix flags: x̂ = w/‖w‖; maxŵ(t) broadcast (vocab-sized); a
     # suffix (rarest-first order => common terms AT the suffix end) is
     # droppable iff its potential Σ x̂·maxŵ < τ; tails are monotone so
     # in_prefix ⇔ tail potential ≥ τ (minus a float-safety margin)
-    nhat = sig.join(norms, "doc_id").select(
+    nhat = sig.select(
         "doc_id",
         "lang",
         "term",
         "df",
         "w",
+        "nsq",
         (F.col("w") / F.sqrt(F.col("nsq").cast("double"))).alias("xhat"),
     )
     maxw = nhat.groupBy("term").agg(F.max("xhat").alias("maxw"))
@@ -371,6 +399,21 @@ def dedup_tfidf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("df").asc(), F.col("term"))
         .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     )
+    # Per-doc suffix potential dpa = Σ x̂·maxŵ over the DROPPED rows:
+    # an upper bound (< τ by construction) on what the suffix could
+    # add to ANY cosine, because ŷ_t ≤ maxŵ(t) for every partner doc.
+    # r13: computed as a conditional window sum over the SAME doc_id
+    # partitioning the tail_pot window just established (zero extra
+    # exchange/sort) and carried ON the flagged rows — the former
+    # droppot groupBy + left join and the nrm_d joins on both index
+    # sides were 5 doc_id-keyed plan nodes, all removed (guide §2.4).
+    # FP note: the window sums pot in partition order where the old
+    # groupBy summed in aggregation order; double addition can differ
+    # by ~1 ulp between the two, which cannot flip the bound filter —
+    # a true pair passes it with ≥1e-9 slack (7 orders of magnitude
+    # above ulp) and a flipped near-boundary FALSE survivor only costs
+    # one extra exact re-dot, never a wrong answer.
+    w_doc = Window.partitionBy("doc_id")
     flagged = (
         nhat.join(gated_broadcast(
             spark, sf_dir, "documents", maxw,
@@ -379,7 +422,18 @@ def dedup_tfidf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("pot", F.col("xhat") * F.col("maxw"))
         .withColumn("tail_pot", F.sum("pot").over(w_tail))
         .withColumn("in_prefix", F.col("tail_pot") >= _COS_TH - 1e-9)
-        .select("doc_id", "lang", "term", "w", "pot", "in_prefix")
+        .withColumn(
+            "dpa",
+            F.coalesce(
+                F.sum(
+                    F.when(~F.col("in_prefix"), F.col("pot"))
+                ).over(w_doc),
+                F.lit(0.0),
+            ),
+        )
+        .select(
+            "doc_id", "lang", "term", "w", "in_prefix", "nsq", "dpa"
+        )
     )
     flagged = flagged.localCheckpoint(eager=False)
     # single-sided candidate join (lossless): the prefix theorem holds
@@ -388,37 +442,20 @@ def dedup_tfidf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     # "shared term ∈ prefix of the smaller-id side" alone captures
     # every true pair; the former (prefix ⋈ full) ∪ (full ⋈ prefix)
     # union did the quadratic candidate work twice for nothing.
-    #
-    # Per-doc suffix potential dpa = Σ x̂·maxŵ over the DROPPED rows:
-    # an upper bound (< τ by construction) on what the suffix could
-    # add to ANY cosine, because ŷ_t ≤ maxŵ(t) for every partner doc.
-    droppot = (
-        flagged.filter(~F.col("in_prefix"))
-        .groupBy("doc_id")
-        .agg(F.sum("pot").alias("dpa"))
+    pref_a = flagged.filter("in_prefix").select(
+        F.col("doc_id").alias("da"),
+        "lang",
+        "term",
+        F.col("w").alias("wa"),
+        F.sqrt(F.col("nsq").cast("double")).alias("na_d"),
+        "dpa",
     )
-    nrm_d = norms.select(
-        "doc_id", F.sqrt(F.col("nsq").cast("double")).alias("nrm")
-    )
-    pref_a = (
-        flagged.filter("in_prefix")
-        .join(nrm_d, "doc_id")
-        .join(droppot, "doc_id", "left")
-        .select(
-            F.col("doc_id").alias("da"),
-            "lang",
-            "term",
-            F.col("w").alias("wa"),
-            F.col("nrm").alias("na_d"),
-            F.coalesce("dpa", F.lit(0.0)).alias("dpa"),
-        )
-    )
-    full_b = flagged.join(nrm_d, "doc_id").select(
+    full_b = flagged.select(
         F.col("doc_id").alias("db"),
         F.col("lang").alias("lb"),
         F.col("term").alias("tb"),
         F.col("w").alias("wb"),
-        F.col("nrm").alias("nb_d"),
+        F.sqrt(F.col("nsq").cast("double")).alias("nb_d"),
     )
     pair_on = (
         (F.col("tb") == F.col("term"))
@@ -463,16 +500,28 @@ def dedup_tfidf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exact dot for survivors only: a per-pair fold over the two
     # ≤K-entry signature maps (JVM-side, no row inflation) recovers
     # any shared-suffix contribution the partial dot missed.
+    # nsq rides the sigmap rows (constant per doc — min() is a
+    # constant-pick), so the final norm attachment is part of these
+    # two survivor joins instead of two more doc_id-keyed joins.
     sigmap = flagged.groupBy("doc_id").agg(
-        F.map_from_entries(F.collect_list(F.struct("term", "w"))).alias("m")
+        F.map_from_entries(F.collect_list(F.struct("term", "w"))).alias("m"),
+        F.min("nsq").alias("nsq"),
     )
     dots = (
         survivors.join(
-            sigmap.select(F.col("doc_id").alias("da"), F.col("m").alias("ma")),
+            sigmap.select(
+                F.col("doc_id").alias("da"),
+                F.col("m").alias("ma"),
+                F.col("nsq").alias("na"),
+            ),
             "da",
         )
         .join(
-            sigmap.select(F.col("doc_id").alias("db"), F.col("m").alias("mb")),
+            sigmap.select(
+                F.col("doc_id").alias("db"),
+                F.col("m").alias("mb"),
+                F.col("nsq").alias("nb"),
+            ),
             "db",
         )
         .select(
@@ -485,26 +534,19 @@ def dedup_tfidf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .cast(_D38)
             .alias("dot"),
+            "na",
+            "nb",
         )
     )
-    na = norms.select(F.col("doc_id").alias("da"), F.col("nsq").alias("na"))
-    nb = norms.select(F.col("doc_id").alias("db"), F.col("nsq").alias("nb"))
     cos = (
         F.col("dot").cast("double")
         / F.sqrt(F.col("na").cast("double"))
         / F.sqrt(F.col("nb").cast("double"))
     )
-    return (
-        dots.join(na, "da")
-        .join(nb, "db")
-        .filter(cos >= _COS_TH)
-        .select(
-            "da",
-            "db",
-            (F.floor(cos * 1000000 + F.lit(0.5)) / 1000000).alias(
-                "cos_sim"
-            ),
-        )
+    return dots.filter(cos >= _COS_TH).select(
+        "da",
+        "db",
+        (F.floor(cos * 1000000 + F.lit(0.5)) / 1000000).alias("cos_sim"),
     )
 
 
