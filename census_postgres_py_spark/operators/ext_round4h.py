@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from census_postgres_py_spark.registry import register
-from census_postgres_py_spark.tables import t
+from census_postgres_py_spark.tables import read_back, t
 
 
 # ---------------------------------------------------------------------------
@@ -253,7 +253,7 @@ def sink_dynamic_partition_overwrite(
         .partitionBy("event_type")
         .parquet(base)
     )
-    back = spark.read.parquet(base)
+    back = read_back(spark, ev.schema, base)
     return back.groupBy("event_type").agg(
         F.count("*").cast("long").alias("n"),
         F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long"))

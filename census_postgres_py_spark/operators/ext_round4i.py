@@ -17,7 +17,7 @@ from pyspark.sql.window import Window
 
 from census_postgres_py_spark.functions.text import tokens
 from census_postgres_py_spark.registry import register
-from census_postgres_py_spark.tables import t
+from census_postgres_py_spark.tables import read_back, t
 
 
 # ---------------------------------------------------------------------------
@@ -236,7 +236,7 @@ def scan_file_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     nat = t(spark, sf_dir, "nation")
     nat.repartition(4).write.mode("overwrite").parquet(path)
-    back = spark.read.parquet(path).select(
+    back = read_back(spark, nat.schema, path).select(
         "n_nationkey", F.col("_metadata.file_name").alias("src_file")
     )
     return back.agg(

@@ -25,7 +25,7 @@ from pyspark.sql.window import Window
 
 from census_postgres_py_spark.operators.scans import _scratch
 from census_postgres_py_spark.registry import register
-from census_postgres_py_spark.tables import t
+from census_postgres_py_spark.tables import read_back, t
 
 _BUCKET_S = 21600  # 6-hour candle
 
@@ -426,11 +426,13 @@ def _file_zones(files):
         return None
 
 
-def _file_zones_scan(spark, files):
+def _file_zones_scan(spark, files, schema=None):
     """Statless fallback: derive the zones with one distributed scan
-    (the r11 plan)."""
+    (the r11 plan). ``schema`` (the zoned copy's known schema) skips
+    the inference job when the caller has it."""
+    rd = spark.read.schema(schema) if schema is not None else spark.read
     rows = (
-        spark.read.parquet(*files)
+        rd.parquet(*files)
         .select("o_orderkey", F.input_file_name().alias("path"))
         .groupBy("path")
         .agg(
@@ -502,10 +504,13 @@ def pipeline_manifest_prune_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         for f in os.listdir(base)
         if f.endswith(".parquet")
     ]
-    manifest = _file_zones(files) or _file_zones_scan(spark, files)
+    zoned_schema = t(spark, sf_dir, "orders").schema
+    manifest = _file_zones(files) or _file_zones_scan(
+        spark, files, schema=zoned_schema
+    )
     keep = [p for p, mn, mx in manifest if mx >= lo and mn <= hi]
     assert 0 < len(keep) < len(files), "zone map must actually prune"
-    pruned = spark.read.parquet(*keep).filter(
+    pruned = read_back(spark, zoned_schema, *keep).filter(
         F.col("o_orderkey").between(lo, hi)
     )
     return pruned.groupBy("o_orderpriority").agg(

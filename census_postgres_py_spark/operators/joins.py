@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from census_postgres_py_spark.registry import register
-from census_postgres_py_spark.tables import gated_broadcast, t
+from census_postgres_py_spark.tables import gated_broadcast, read_back, t
 
 
 @register(
@@ -469,7 +469,13 @@ def join_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
             .partitionBy("o_year")
             .parquet(fact_dir)
         )
-    fact = spark.read.parquet(fact_dir)
+    fact = read_back(
+        spark,
+        t(spark, sf_dir, "orders")
+        .withColumn("o_year", F.year("o_orderdate"))
+        .schema,
+        fact_dir,
+    )
     years = spark.createDataFrame(
         [(y, f"y{y % 100}") for y in range(1995, 2002)],
         "dim_year int, label string",

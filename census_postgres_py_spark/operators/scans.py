@@ -27,7 +27,7 @@ from census_postgres_py_spark.sources.fixed_width import (
     parse_fixed_width_lines,
 )
 from census_postgres_py_spark.sources.metadata_schema import schema_from_metadata
-from census_postgres_py_spark.tables import t
+from census_postgres_py_spark.tables import read_back, t
 
 
 def _scratch(name: str) -> str:
@@ -153,7 +153,7 @@ def sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_year", F.year("o_orderdate").cast("long")
     )
     o.write.mode("overwrite").partitionBy("o_year").parquet(path)
-    back = spark.read.parquet(path)
+    back = read_back(spark, o.schema, path)
     return back.groupBy(F.col("o_year").cast("long").alias("o_year")).agg(
         F.count("*").alias("n"),
         F.round(F.sum("o_totalprice"), 2).alias("total"),
@@ -294,7 +294,7 @@ def sink_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).unionByName(updates)
     path = _scratch("orders_merged")
     merged.write.mode("overwrite").parquet(path)
-    back = spark.read.parquet(path)
+    back = read_back(spark, merged.schema, path)
     return back.groupBy("o_orderpriority").agg(
         F.count("*").cast("long").alias("n"),
         (F.floor(F.sum("o_totalprice") * 100 + F.lit(0.5)) / 100).alias(
@@ -457,10 +457,10 @@ def sink_compact_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n_out = max(1, total // (128 * 1024 * 1024))
     compact = _scratch(f"li_compact_{os.path.basename(sf_dir)}")
-    spark.read.parquet(frag).repartition(int(n_out)).write.mode(
+    read_back(spark, li.schema, frag).repartition(int(n_out)).write.mode(
         "overwrite"
     ).parquet(compact)
-    return spark.read.parquet(compact).select(*cols)
+    return read_back(spark, li.schema, compact).select(*cols)
 
 
 @register(
@@ -563,7 +563,7 @@ def sink_partitioned_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
             .partitionBy("l_returnflag")
             .parquet(path)
         )
-    return spark.read.parquet(path).select(*cols)
+    return read_back(spark, li.schema, path).select(*cols)
 
 
 @register(
@@ -882,7 +882,7 @@ def sink_manifest_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         t(spark, sf_dir, "orders").write.mode("overwrite").partitionBy(
             "o_orderpriority"
         ).parquet(path)
-    back = spark.read.parquet(path)
+    back = read_back(spark, t(spark, sf_dir, "orders").schema, path)
     return back.groupBy("o_orderpriority").agg(
         F.count("*").cast("long").alias("n_rows"),
         F.min(F.col("o_orderdate").cast("date")).alias("min_date"),

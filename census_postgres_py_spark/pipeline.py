@@ -47,7 +47,7 @@ from census_postgres_py_spark.sources.fixed_width import (
     parse_fixed_width_lines,
 )
 from census_postgres_py_spark.sources.metadata_schema import sequence_table_schema
-from census_postgres_py_spark.tables import t
+from census_postgres_py_spark.tables import read_back, t
 
 TABLE_ID = "b01001"
 N_CELLS = 2
@@ -97,6 +97,13 @@ def _synthesize_inputs(spark: SparkSession, sf_dir: str) -> tuple[str, str, str]
             _round2(F.sum("c_acctbal")).alias("bal"),
         )
     )
+    # r13: three writer branches (geoheader text + e/m sequence CSVs)
+    # consume this nation-sized frame; uncheckpointed, each re-ran the
+    # customer join + groupBy from scratch — 3 serial driver-blocking
+    # rebuilds of the same 25 rows (guide §5, the pagerank-checkpoint
+    # precedent for ≥3 consumers). Materialize once; each write
+    # becomes a single tiny job over the checkpointed rows.
+    per_nation = per_nation.localCheckpoint(eager=False)
 
     geo = per_nation.select(
         _stusab().alias("stusab"),
@@ -108,9 +115,6 @@ def _synthesize_inputs(spark: SparkSession, sf_dir: str) -> tuple[str, str, str]
         F.col("n_name").alias("name"),
     )
     geo_path = _scratch(f"geo_{os.path.basename(sf_dir)}")
-    format_fixed_width(geo, GEO_LAYOUT).coalesce(1).write.mode(
-        "overwrite"
-    ).text(geo_path)
 
     def seq_rows(filetype: str, margin: bool) -> DataFrame:
         c1 = F.col("pop")
@@ -134,8 +138,24 @@ def _synthesize_inputs(spark: SparkSession, sf_dir: str) -> tuple[str, str, str]
 
     e_path = _scratch(f"e_{os.path.basename(sf_dir)}")
     m_path = _scratch(f"m_{os.path.basename(sf_dir)}")
-    write_sequence_csv(seq_rows("2014e5", margin=False), e_path)
-    write_sequence_csv(seq_rows("2014m5", margin=True), m_path)
+    # r13: the three scratch writes are independent once per_nation is
+    # checkpointed, so submit them from a small thread pool (guide
+    # §2.6 — actions are only sequential because driver code calls
+    # them sequentially); three tiny jobs overlap instead of running
+    # as three serial driver round trips.
+    from concurrent.futures import ThreadPoolExecutor
+
+    writes = (
+        lambda: format_fixed_width(geo, GEO_LAYOUT)
+        .coalesce(1)
+        .write.mode("overwrite")
+        .text(geo_path),
+        lambda: write_sequence_csv(seq_rows("2014e5", margin=False), e_path),
+        lambda: write_sequence_csv(seq_rows("2014m5", margin=True), m_path),
+    )
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        for fut in [pool.submit(w) for w in writes]:
+            fut.result()
     return geo_path, e_path, m_path
 
 
@@ -192,7 +212,7 @@ def pipeline_acs_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     sink = _scratch(f"sink_{os.path.basename(sf_dir)}")
     derived.write.mode("overwrite").partitionBy("stusab").parquet(sink)
-    return spark.read.parquet(sink).select(
+    return read_back(spark, derived.schema, sink).select(
         "geoid", "name", "stusab", *cells, *[f"{c}_m" for c in cells]
     )
 

@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from census_postgres_py_spark.registry import register
-from census_postgres_py_spark.tables import t
+from census_postgres_py_spark.tables import read_back, t
 
 HOUR_MS = 3_600_000
 
@@ -350,7 +350,15 @@ def stream_foreachbatch_jdbc(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
 
-    back = spark.read.parquet(out_dir)
+    # read back with the batch writer's exact output schema —
+    # derivable from the (unstarted) streaming frame, no inference job
+    back = read_back(
+        spark,
+        ev.groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("value_sum"))
+        .schema,
+        out_dir,
+    )
     return back.groupBy("event_type").agg(
         F.sum("n").cast("long").alias("n"),
         F.round(F.sum("value_sum"), 2).alias("total_value"),
@@ -733,7 +741,7 @@ def stream_incremental_availablenow(
         )
         open(phase2, "w").close()
     run_once()
-    return spark.read.parquet(out)
+    return read_back(spark, ev.schema, out)
 
 
 @register(
@@ -817,7 +825,9 @@ def pipeline_stream_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
 
-    served = spark.read.parquet(out_dir)
+    served = read_back(
+        spark, windowed.withColumn("epoch", F.lit(0)).schema, out_dir
+    )
     latest = Window.partitionBy("w", "event_type").orderBy(F.col("epoch").desc())
     return (
         served.withColumn("rn", F.row_number().over(latest))

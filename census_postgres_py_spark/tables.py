@@ -48,9 +48,62 @@ def _path_fingerprint(path: str):
 
     try:
         st = os.stat(path)
+        if os.path.isdir(path):
+            # Rewriting a part file in place changes neither the
+            # directory's mtime nor size, so directory-backed fixtures
+            # fold the contained files' stats into the fingerprint
+            # (r12 ADVICE).
+            parts = tuple(
+                sorted(
+                    (fn, s.st_mtime_ns, s.st_size)
+                    for root, _, fns in os.walk(path)
+                    for fn in fns
+                    for s in (os.stat(os.path.join(root, fn)),)
+                )
+            )
+            return (st.st_mtime_ns, st.st_size, parts)
         return (st.st_mtime_ns, st.st_size)
     except OSError:
         return None
+
+
+def _as_nullable(dt):
+    """Parquet read-back re-infers every field nullable; normalize a
+    written frame's schema the same way so a schema-explicit read is
+    indistinguishable from the inferred one."""
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.StructType):
+        return T.StructType(
+            [
+                T.StructField(f.name, _as_nullable(f.dataType), True)
+                for f in dt.fields
+            ]
+        )
+    if isinstance(dt, T.ArrayType):
+        return T.ArrayType(_as_nullable(dt.elementType), True)
+    if isinstance(dt, T.MapType):
+        return T.MapType(
+            _as_nullable(dt.keyType), _as_nullable(dt.valueType), True
+        )
+    return dt
+
+
+def read_back(spark: SparkSession, schema, *paths: str) -> DataFrame:
+    """Schema-explicit parquet read of scratch data the operator itself
+    (logically) wrote: ``schema`` is the written DataFrame's schema (or
+    an expression-derived StructType equal to it). Every bare
+    ``spark.read.parquet`` pays a 1-task schema-inference job — a
+    serial driver round trip and a host-stall exposure point (the r12
+    schema memo covers fixture paths; this helper covers the
+    write-then-read-back scratch sites, r12 VERDICT item 2). For
+    self-written parquet the inferred schema IS the written schema
+    modulo nullability (normalized here exactly as inference would);
+    partition columns are resolved by name and cast from their
+    directory strings to the written type — identical to inference at
+    every call site (string codes stay strings, int years stay ints).
+    """
+    return spark.read.schema(_as_nullable(schema)).parquet(*paths)
 
 
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
