@@ -285,15 +285,30 @@ def dq_fk_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
     for child, parent in _CANDIDATES:
         ct, cc = child.split(".")
         pt, pc = parent.split(".")
-        cd = t(spark, sf_dir, ct).select(F.col(cc).alias("v")).distinct()
-        pd_ = t(spark, sf_dir, pt).select(F.col(pc).alias("v")).distinct()
-        contained = cd.join(pd_, "v", "left_semi")
-        stats = cd.agg(
-            F.count("*").cast("long").alias("n_child_distinct")
-        ).crossJoin(
-            pd_.agg(F.count("*").cast("long").alias("n_parent_distinct"))
-        ).crossJoin(
-            contained.agg(F.count("*").cast("long").alias("n_contained"))
+        # r13: ONE full-outer join of the two distinct key sets + ONE
+        # multi-aggregate pass replaces the former left-semi join plus
+        # THREE separate scalar aggs cross-joined together (12 exec
+        # jobs per pair at AQE stage granularity -> ~4). The join on v
+        # reuses the distincts' hash(v) exchanges, so no new shuffle;
+        # sum(c)=|child keys| (counts a NULL child key exactly like the
+        # old count(*)), sum(p)=|parent keys|, and sum(c*p)=|c∩p| (a
+        # NULL key never joins, exactly like the old EXISTS semi-join).
+        cd = (
+            t(spark, sf_dir, ct)
+            .select(F.col(cc).alias("v"))
+            .distinct()
+            .withColumn("c", F.lit(1))
+        )
+        pd_ = (
+            t(spark, sf_dir, pt)
+            .select(F.col(pc).alias("v"))
+            .distinct()
+            .withColumn("p", F.lit(1))
+        )
+        stats = cd.join(pd_, "v", "full_outer").agg(
+            F.sum("c").cast("long").alias("n_child_distinct"),
+            F.sum("p").cast("long").alias("n_parent_distinct"),
+            F.sum(F.col("c") * F.col("p")).cast("long").alias("n_contained"),
         )
         frames.append(
             stats.select(
