@@ -13,6 +13,13 @@ driver's tail capture, see r4 VERDICT item 1)::
 Execution is forced through the ``noop`` sink so we measure the full
 plan (scan -> shuffle -> result) without driver-collect overhead —
 the same shape a cluster job would have.
+
+r13: after the timed pass, queries that read >3x their committed
+bench_queries.json value are re-run once warm and both readings ride a
+``retimes`` field (see collect_retimes) — the host stalls
+intermittently and a single cold rep can read 3-10x true cost, so the
+artifact now carries the evidence to adjudicate such rows. The timed
+pass itself, headline_total, and the queries map are unchanged.
 """
 
 from __future__ import annotations
@@ -347,6 +354,18 @@ def main() -> int:
         sf == CALIBRATION_CONFIG["sf"] and cpus == CALIBRATION_CONFIG["cpus"]
     )
 
+    # Previous committed per-query map, read BEFORE this run overwrites
+    # it — the reference the stall re-time pass compares against.
+    here = os.path.dirname(os.path.abspath(__file__))
+    prev_queries: dict[str, float] = {}
+    try:
+        with open(os.path.join(here, "bench_queries.json")) as fh:
+            prev_rec = json.load(fh)
+        if prev_rec.get("sf") == sf:  # cross-SF times are incomparable
+            prev_queries = prev_rec.get("queries", {})
+    except Exception:  # noqa: BLE001 — missing/corrupt map: no retimes
+        prev_queries = {}
+
     times: dict[str, float] = {}
     for qid in HEADLINE:
         if qid not in qs:
@@ -358,22 +377,57 @@ def main() -> int:
             print(f"bench: {qid} failed: {exc}", file=sys.stderr)
             times[qid] = -1.0
 
+    retimes = collect_retimes(run, times, prev_queries)
+
     # The full per-query map (242 entries, ~6 KB) overflowed the
     # driver's tail capture in round 4 (BENCH_r04.json "parsed": null),
     # losing the round's official perf record. Per the r4 VERDICT
     # (item 1): write the complete map to bench_queries.json (committed
     # per round) and keep the driver-parsed LAST line compact — total,
     # sf, and only the slowest queries (where regressions live).
-    here = os.path.dirname(os.path.abspath(__file__))
     with open(os.path.join(here, "bench_queries.json"), "w") as fh:
         json.dump(
-            full_record(times, sf, calib, on_config),
+            full_record(times, sf, calib, on_config, retimes),
             fh,
             indent=1,
             sort_keys=True,
         )
-    print(compact_line(times, sf, calib, on_config))
+    print(compact_line(times, sf, calib, on_config, retimes))
     return 0
+
+
+#: Stall re-time pass (r12 VERDICT item 6): a single cold rep on this
+#: host can read 3-10x its true value (mm_phash 9.8 s vs the same
+#: driver's 2.3 s minutes later), producing false "regressed" rows.
+#: After the timed loop, any query that read > RETIME_FACTOR x its
+#: committed bench_queries.json value (and above an absolute floor, so
+#: sub-second scheduling blips don't qualify) is re-run once WARM and
+#: BOTH readings are reported in a `retimes` field. Additions-only:
+#: headline_total and the queries map keep the original readings.
+RETIME_FACTOR = 3.0
+RETIME_FLOOR_SEC = 1.0
+RETIME_MAX = 8
+
+
+def collect_retimes(
+    run, times: dict, prev_queries: dict
+) -> dict[str, list[float]]:
+    suspects = [
+        q
+        for q, v in times.items()
+        if v >= RETIME_FLOOR_SEC
+        and prev_queries.get(q, -1.0) > 0
+        and v > RETIME_FACTOR * prev_queries[q]
+    ]
+    suspects.sort(key=lambda q: -times[q])
+    out: dict[str, list[float]] = {}
+    for q in suspects[:RETIME_MAX]:
+        try:
+            out[q] = [times[q], run(q)]
+        except Exception as exc:  # noqa: BLE001 — bench must always emit JSON
+            print(f"bench: retime {q} failed: {exc}", file=sys.stderr)
+            out[q] = [times[q], -1.0]
+    return out
 
 
 def run_calibration(run, reps: int = 3) -> dict[str, float]:
@@ -419,7 +473,11 @@ def _calib_fields(calib: dict | None, on_config: bool = True) -> dict:
 
 
 def full_record(
-    times: dict, sf, calib: dict | None = None, on_config: bool = True
+    times: dict,
+    sf,
+    calib: dict | None = None,
+    on_config: bool = True,
+    retimes: dict | None = None,
 ) -> dict:
     total = round(sum(v for v in times.values() if v >= 0), 3)
     return {
@@ -430,11 +488,16 @@ def full_record(
         "n_queries": len(times),
         "queries": times,
         **_calib_fields(calib, on_config),
+        **({"retimes": retimes} if retimes else {}),
     }
 
 
 def compact_line(
-    times: dict, sf, calib: dict | None = None, on_config: bool = True
+    times: dict,
+    sf,
+    calib: dict | None = None,
+    on_config: bool = True,
+    retimes: dict | None = None,
 ) -> str:
     """The driver-parsed stdout line. MUST stay small: the driver tail-
     captures stdout, and a >~4 KB line is what lost BENCH_r04
@@ -454,6 +517,7 @@ def compact_line(
             "failed": failed[:10],
             "queries_file": "bench_queries.json",
             **_calib_fields(calib, on_config),
+            **({"retimes": retimes} if retimes else {}),
         }
     )
 

@@ -308,13 +308,40 @@ def join_bipartite_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept = cp.join(gated_broadcast(spark, sf_dir, ("part", "lineitem"), deg), "part")
     a = kept.alias("a")
     b = kept.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("b.part") == F.col("a.part"))
-            & (F.col("a.cust") < F.col("b.cust")),
+    pairs = a.join(
+        b,
+        (F.col("b.part") == F.col("a.part"))
+        & (F.col("a.cust") < F.col("b.cust")),
+    )
+    # r13: the Σ deg² pair stream is this op's one heavy shuffle (the
+    # groupBy below dedups ~9M rows at sf0.1); when the parquet footer
+    # proves every custkey fits in 31 unsigned bits, the (cust_a,
+    # cust_b) key packs into ONE long — 8 bytes of grouping key per
+    # pair row instead of 16, one hash/compare instead of two (guide
+    # §2.3 narrower types). a.cust < b.cust makes the packing
+    # injective; the output unpacks to the same long pair, so rows are
+    # identical. Footer stats absent or keys too wide -> the two-column
+    # groupBy below, never a wrong answer.
+    from census_postgres_py_spark.operators.ext_round4n import _key_bounds
+
+    ck = _key_bounds(sf_dir, "orders", "o_custkey")
+    if ck is not None and 0 <= ck[0] and ck[1] <= 2**31 - 1:
+        return (
+            pairs.select(
+                F.expr("shiftleft(CAST(a.cust AS BIGINT), 32) | b.cust")
+                .alias("pk")
+            )
+            .groupBy("pk")
+            .agg(F.count("*").cast("long").alias("n_common"))
+            .filter(F.col("n_common") >= _MIN_COMMON)
+            .select(
+                F.expr("shiftright(pk, 32)").cast("long").alias("cust_a"),
+                F.expr("pk & 4294967295").cast("long").alias("cust_b"),
+                "n_common",
+            )
         )
-        .groupBy(
+    return (
+        pairs.groupBy(
             F.col("a.cust").alias("cust_a"),
             F.col("b.cust").alias("cust_b"),
         )

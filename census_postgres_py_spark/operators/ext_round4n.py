@@ -184,6 +184,8 @@ def _key_bounds(sf_dir: str, table: str, column: str):
                     return None
                 hi = max(hi, stats.max)
                 lo = min(lo, stats.min)
+        if hi < lo:  # zero row groups read: no stats, not "bounds
+            return None  # (2^63, -2^63)" (r12 ADVICE)
         return (lo, hi)
     except Exception:
         return None

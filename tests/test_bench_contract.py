@@ -91,3 +91,56 @@ def test_calibration_probes_are_registered_headline_queries():
     qs = registry.all_queries()
     for q in bench.CALIBRATION_ANCHORS:
         assert q in qs
+
+
+def _fake_retimes(n: int = 8) -> dict[str, list[float]]:
+    return {
+        f"operator_with_a_long_name_{i:04d}": [round(9.1 + i, 3), 1.234]
+        for i in range(n)
+    }
+
+
+def test_retimes_ride_the_line_without_breaking_the_budget():
+    line = bench.compact_line(
+        _fake_times(500), 0.1, _fake_calib(), retimes=_fake_retimes()
+    )
+    assert len(line.encode()) < 2048, len(line)
+    d = json.loads(line)
+    assert d["retimes"] == _fake_retimes()
+    # additions-only: headline total and query map unchanged by retimes
+    assert d["value"] == json.loads(bench.compact_line(_fake_times(500), 0.1))["value"]
+    rec = bench.full_record(
+        _fake_times(300), 0.1, _fake_calib(), retimes=_fake_retimes()
+    )
+    assert rec["retimes"] == _fake_retimes()
+    # empty retimes keeps the legacy shape
+    d0 = json.loads(bench.compact_line(_fake_times(10), 0.1, retimes={}))
+    assert "retimes" not in d0
+
+
+def test_collect_retimes_picks_only_stalled_queries_and_caps():
+    times = {f"q{i}": 2.0 for i in range(20)}
+    times["fine"] = 1.5          # 1.5x prev: not a stall
+    times["stalled"] = 9.0       # 9x prev
+    times["tiny_blip"] = 0.45    # 5x prev but under the absolute floor
+    times["no_history"] = 8.0    # no committed value: skip
+    prev = {q: 2.0 for q in times}
+    prev["fine"] = 1.0
+    prev["stalled"] = 1.0
+    prev["tiny_blip"] = 0.09
+    del prev["no_history"]
+    calls = []
+
+    def fake_run(q):
+        calls.append(q)
+        return 1.111
+
+    out = bench.collect_retimes(fake_run, times, prev)
+    assert out == {"stalled": [9.0, 1.111]} and calls == ["stalled"]
+    # cap: 20 stalled queries -> only the slowest RETIME_MAX re-run
+    times2 = {f"s{i:02d}": 10.0 + i for i in range(20)}
+    out2 = bench.collect_retimes(fake_run, times2, {q: 1.0 for q in times2})
+    assert len(out2) == bench.RETIME_MAX
+    assert set(out2) == {f"s{i:02d}" for i in range(12, 20)}
+    # no committed map (first run / off-sf): nothing re-runs
+    assert bench.collect_retimes(fake_run, times, {}) == {}
