@@ -204,7 +204,11 @@ def _run_to_memory(
     spark.sql.shuffle.partitions for the query's lifetime (the value
     is locked into the state store at checkpoint creation) — session-
     global during the swap, restored in the finally, same caveat as
-    the sessionize knob."""
+    the sessionize knob: any query planned on the shared session
+    during the window would inherit the swapped value, so this assumes
+    the SINGLE-THREADED operator execution the driver/bench/pytest
+    harnesses all use (r12 ADVICE — a production deployment sets the
+    conf once at stream launch instead of swapping)."""
     spark = df.sparkSession
     name = f"sink_{uuid.uuid4().hex[:12]}"
     old_parts = None
