@@ -197,54 +197,50 @@ def fn_consistent_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     that exist in orders but were NOT sampled there — ZERO by
     construction, and the hash-checked proof of coordination.
 
-    Membership is a codegen'd md5 projection pushed below the
-    DISTINCTs; the audit joins run on the reduced key frames.
+    Membership is a codegen'd md5 projection; because the keep rule is
+    a pure function of the KEY VALUE, it evaluates on the distinct key
+    frames (one distinct per table — strictly fewer md5 evaluations
+    than the per-row filter, same surviving key set), and all six
+    audit counts fold into ONE full-outer join of the two flagged key
+    sets + ONE multi-aggregate (r13, the dq_fk_inference restructure:
+    the former 2 semi-joins + 1 anti-join + 6 scalar aggs cross-joined
+    ran 18 exec jobs at AQE stage granularity; the join on k reuses
+    the distincts' exchanges, so this is 2 distinct shuffles + 1
+    single-row agg). Flag algebra per key: keep flags agree across
+    tables by construction, o_keep ⊆ o_all, NULL flags on the
+    unmatched side drop out of every sum exactly like the old joins
+    dropped unmatched keys.
     """
-    keep = lambda c: (  # noqa: E731
-        F.conv(F.substring(F.md5(F.col(c).cast("string")), 1, 8), 16, 10)
-        .cast("long")
-        % 100
-        < _SAMPLE_PCT
+    keep_flag = lambda c: (  # noqa: E731
+        (
+            F.conv(F.substring(F.md5(F.col(c).cast("string")), 1, 8), 16, 10)
+            .cast("long")
+            % 100
+            < _SAMPLE_PCT
+        ).cast("int")
     )
     o = t(spark, sf_dir, "orders")
     e = t(spark, sf_dir, "events")
-    o_keys = o.select(F.col("o_custkey").alias("k")).distinct()
-    e_keys = e.select(F.col("user_id").alias("k")).distinct()
-    o_keep = o.filter(keep("o_custkey")).select(
-        F.col("o_custkey").alias("k")
-    ).distinct()
-    e_keep = e.filter(keep("user_id")).select(
-        F.col("user_id").alias("k")
-    ).distinct()
-    shared_sampled = (
-        e_keep.join(o_keep, "k", "left_semi")
-        .join(o_keys, "k", "left_semi")
+    o_flags = (
+        o.select(F.col("o_custkey").alias("k"))
+        .distinct()
+        .select("k", F.lit(1).alias("oa"), keep_flag("k").alias("ok"))
     )
-    inconsistent = (
-        e_keep.join(o_keys, "k", "left_semi")
-        .join(o_keep, "k", "left_anti")
+    e_flags = (
+        e.select(F.col("user_id").alias("k"))
+        .distinct()
+        .select("k", F.lit(1).alias("ea"), keep_flag("k").alias("ek"))
     )
-    return (
-        o_keep.agg(F.count("*").cast("long").alias("n_orders_keys"))
-        .crossJoin(
-            e_keep.agg(F.count("*").cast("long").alias("n_events_keys"))
-        )
-        .crossJoin(
-            shared_sampled.agg(
-                F.count("*").cast("long").alias("n_shared_sampled")
-            )
-        )
-        .crossJoin(
-            inconsistent.agg(
-                F.count("*").cast("long").alias("n_inconsistent")
-            )
-        )
-        .crossJoin(
-            o_keys.agg(F.count("*").cast("long").alias("n_orders_total"))
-        )
-        .crossJoin(
-            e_keys.agg(F.count("*").cast("long").alias("n_events_total"))
-        )
+    cnt = lambda col, name: (  # noqa: E731
+        F.coalesce(F.sum(col), F.lit(0)).cast("long").alias(name)
+    )
+    return o_flags.join(e_flags, "k", "full_outer").agg(
+        cnt(F.col("ok"), "n_orders_keys"),
+        cnt(F.col("ek"), "n_events_keys"),
+        cnt(F.col("ek") * F.col("ok"), "n_shared_sampled"),
+        cnt(F.col("ek") * (F.col("oa") - F.col("ok")), "n_inconsistent"),
+        cnt(F.col("oa"), "n_orders_total"),
+        cnt(F.col("ea"), "n_events_total"),
     )
 
 
